@@ -1,0 +1,81 @@
+"""3D U-Nets for cost-volume regularization (NDHWC).
+
+Capability-equivalent of the reference CostRegNet / CostRegNet_small
+(/root/reference/networks/gdb_nerf/cost_reg_net.py): encoder with stride-2
+3D convs, transposed-conv decoder with additive skips, and two heads — an
+8-dim voxel feature volume and a softmax depth-probability volume.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import linen as nn
+
+from gdb_nerf_tpu.models.layers import ConvBlock, DeconvBlock
+
+
+class CostRegNet(nn.Module):
+    """Full 3-down / 3-up variant (used for the fine stage)."""
+
+    out_channels: int
+    base_channels: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool):
+        """Args: x (D, H, W, C). Returns (feat (D,H,W,out), prob (D,H,W))."""
+        bc = self.base_channels
+        kw = dict(kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name)
+        skw = dict(
+            kernel_size=(3, 3, 3),
+            strides=(2, 2, 2),
+            padding=(1, 1, 1),
+            axis_name=self.axis_name,
+        )
+        x = x[None]
+        c0 = ConvBlock(bc, **kw)(x, train)
+        c2 = ConvBlock(bc * 2, **kw)(ConvBlock(bc * 2, **skw)(c0, train), train)
+        c4 = ConvBlock(bc * 4, **kw)(ConvBlock(bc * 4, **skw)(c2, train), train)
+        bott = ConvBlock(bc * 8, **kw)(ConvBlock(bc * 8, **skw)(c4, train), train)
+
+        up = c4 + DeconvBlock(bc * 4, axis_name=self.axis_name)(bott[0], train)[None]
+        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(up[0], train)[None]
+        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up[0], train)[None]
+
+        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)[0]
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[0, ..., 0]
+        prob = nn.softmax(logits, axis=0)  # over depth (D) axis
+        return feat, prob
+
+
+class CostRegNetSmall(nn.Module):
+    """2-down / 2-up variant (used for the coarse stage)."""
+
+    out_channels: int
+    base_channels: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool):
+        bc = self.base_channels
+        kw = dict(kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name)
+        skw = dict(
+            kernel_size=(3, 3, 3),
+            strides=(2, 2, 2),
+            padding=(1, 1, 1),
+            axis_name=self.axis_name,
+        )
+        x = x[None]
+        c0 = ConvBlock(bc, **kw)(x, train)
+        c2 = ConvBlock(bc * 2, **kw)(ConvBlock(bc * 2, **skw)(c0, train), train)
+        bott = ConvBlock(bc * 4, **kw)(ConvBlock(bc * 4, **skw)(c2, train), train)
+
+        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(bott[0], train)[None]
+        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up[0], train)[None]
+
+        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)[0]
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[0, ..., 0]
+        prob = nn.softmax(logits, axis=0)
+        return feat, prob

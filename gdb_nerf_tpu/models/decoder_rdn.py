@@ -1,0 +1,72 @@
+"""Residual-Dense-Network decoder: bundle feature map -> full-res RGB.
+
+Capability-equivalent of the reference Decoder
+(/root/reference/networks/gdb_nerf/decoder_rdn.py): in-conv, a stack of
+residual dense blocks with SE channel attention, log2(b) PixelShuffle
+upsampling stages, and a 1x1 output conv.  NHWC, un-batched (vmap outside).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gdb_nerf_tpu.ops.resize import pixel_shuffle
+
+
+class SEBlock(nn.Module):
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (H, W, C) -> channel-reweighted (H, W, C)."""
+        y = x.mean(axis=(0, 1))  # (C,)
+        y = nn.relu(nn.Dense(self.channels // self.reduction, use_bias=False)(y))
+        y = nn.sigmoid(nn.Dense(self.channels, use_bias=False)(y))
+        return x * y
+
+
+class ResidualDenseBlock(nn.Module):
+    num_feats: int
+    growth_rate: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x1 = nn.relu(nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False)(x))
+        x2 = nn.relu(
+            nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False)(
+                jnp.concatenate([x, x1], axis=-1)
+            )
+        )
+        x3 = nn.Conv(self.num_feats, (3, 3), padding=1, use_bias=False)(
+            jnp.concatenate([x, x1, x2], axis=-1)
+        )
+        return x + SEBlock(self.num_feats)(x3)
+
+
+class Decoder(nn.Module):
+    out_channels: int = 3
+    num_feats: int = 64
+    num_layers: int = 3
+    upscale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (H, W, C_in) -> (H*b, W*b, out_channels)."""
+        if self.upscale_factor <= 0 or (
+            self.upscale_factor & (self.upscale_factor - 1)
+        ):
+            raise ValueError("upscale_factor must be a power of 2")
+        shallow = nn.Conv(self.num_feats, (3, 3), padding=1)(x)
+        h = shallow
+        for _ in range(self.num_layers):
+            h = ResidualDenseBlock(self.num_feats)(h)
+        h = shallow + h
+        for _ in range(int(round(math.log2(self.upscale_factor)))):
+            h = nn.Conv(4 * self.num_feats, (3, 3), padding=1)(h)
+            h = pixel_shuffle(h, 2)
+        return nn.Conv(self.out_channels, (1, 1))(h)

@@ -1,0 +1,50 @@
+"""2D feature pyramid network (FPN) over source images.
+
+Capability-equivalent of the reference FeatureNet
+(/root/reference/networks/gdb_nerf/feature_net.py): a 3-level conv pyramid
+(stride-2 downsamples to 1/2 and 1/4) with nearest-upsample + 1x1-lateral
+top-down merging and per-level output heads producing features of dims
+``out_channels`` at scales (1/4, 1/2, 1).  NHWC layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from flax import linen as nn
+
+from gdb_nerf_tpu.models.layers import ConvBlock
+from gdb_nerf_tpu.ops.resize import upsample_nearest_2x
+
+
+class FeatureNet(nn.Module):
+    base_channels: int = 8
+    out_channels: Sequence[int] = (32, 16, 8)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
+        """Args: x (H, W, 3) image. Returns [coarse(1/4), mid(1/2), fine(1)]."""
+        bc = self.base_channels
+        kw = dict(axis_name=self.axis_name)
+        x = x[None]  # conv wants a batch dim; stripped at the end
+
+        c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(x, train)
+        c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(c0, train)
+
+        c1 = ConvBlock(bc * 2, (5, 5), strides=(2, 2), padding=(2, 2), **kw)(c0, train)
+        c1 = ConvBlock(bc * 2, (3, 3), padding=(1, 1), **kw)(c1, train)
+
+        c2 = ConvBlock(bc * 4, (5, 5), strides=(2, 2), padding=(2, 2), **kw)(c1, train)
+        c2 = ConvBlock(bc * 4, (3, 3), padding=(1, 1), **kw)(c2, train)
+
+        out0 = nn.Conv(self.out_channels[0], (1, 1))(c2)
+
+        intra = upsample_nearest_2x(c2[0])[None] + nn.Conv(bc * 4, (1, 1))(c1)
+        out1 = nn.Conv(self.out_channels[1], (3, 3), padding=1, use_bias=False)(intra)
+
+        intra = upsample_nearest_2x(intra[0])[None] + nn.Conv(bc * 4, (1, 1))(c0)
+        out2 = nn.Conv(self.out_channels[2], (3, 3), padding=1, use_bias=False)(intra)
+
+        return [out0[0], out1[0], out2[0]]

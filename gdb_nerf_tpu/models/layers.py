@@ -1,0 +1,113 @@
+"""Shared conv building blocks (channels-last, BatchNorm + ReLU).
+
+Equivalents of the reference's conv/deconv blocks
+(/root/reference/networks/gdb_nerf/modules.py): Conv -> BatchNorm -> ReLU,
+bias-free convs.  Layout is NHWC / NDHWC (TPU-native); BatchNorm follows
+torch semantics (eps 1e-5, running-stat momentum 0.1 -> flax momentum 0.9)
+and takes an optional ``axis_name`` so that data-parallel training
+cross-replica-averages batch statistics (the SyncBatchNorm equivalent).
+
+The transposed conv is expressed directly as an input-dilated conv with the
+exact padding arithmetic of torch's ConvTranspose(kernel=3, stride=2,
+padding=1, output_padding=1), i.e. out = 2 * in.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    """Conv(bias-free) + BatchNorm + ReLU for 2D or 3D (by kernel length)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: Sequence[int] | None = None
+    bn_momentum: float = 0.9
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        ndim = len(self.kernel_size)
+        strides = self.strides or (1,) * ndim
+        pad = self.padding or (0,) * ndim
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(strides),
+            padding=[(p, p) for p in pad],
+            use_bias=False,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+        )(x)
+        return nn.relu(x)
+
+
+class DeconvBlock(nn.Module):
+    """Transposed conv (k=3, s=2, p=1, op=1 torch arithmetic) + BN + ReLU.
+
+    Implemented as lhs-dilated convolution: dilate the input by the stride,
+    pad (k-1-p, k-1-p+output_padding) = (1, 2) per spatial dim, then run a
+    plain convolution.  The stored kernel is in gather-conv orientation; the
+    torch checkpoint converter flips it spatially and swaps I/O.
+    """
+
+    features: int
+    ndim: int = 3
+    bn_momentum: float = 0.9
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        k, s, p, op = 3, 2, 1, 1
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k,) * self.ndim + (in_features, self.features),
+        )
+        if self.ndim == 2:
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            dn = ("NDHWC", "DHWIO", "NDHWC")
+        pad = [(k - 1 - p, k - 1 - p + op)] * self.ndim
+        y = jax.lax.conv_general_dilated(
+            x[None],
+            kernel.astype(x.dtype),
+            window_strides=(1,) * self.ndim,
+            padding=pad,
+            lhs_dilation=(s,) * self.ndim,
+            dimension_numbers=dn,
+        )[0]
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+        )(y)
+        return nn.relu(y)
+
+
+class MLP(nn.Module):
+    """Dense -> activation stack (activation after every layer)."""
+
+    features: Sequence[int]
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = {"relu": nn.relu, "softplus": nn.softplus, "sigmoid": nn.sigmoid}[
+            self.activation
+        ]
+        for f in self.features:
+            x = act(nn.Dense(f)(x))
+        return x

@@ -1,0 +1,283 @@
+"""Depth-guided bundle sampling — the paper's core — in dense TPU form.
+
+The reference implements bundles as ragged per-sample lists produced on the
+GPU (/root/reference/networks/gdb_nerf/bundle_sampler.py): every b×b block of
+rays becomes one "bundle", samples are placed inside the per-bundle MVS
+confidence interval, and the adaptive path emits a *variable* number of
+samples per bundle via boolean-mask gathers.
+
+XLA wants static shapes, so this module keeps everything dense:
+``(H, W, S)`` with S = max_num_samples and a validity mask ``sample_idx <
+samples_per_bundle``.  With S in [3, 6] the padding waste is bounded and the
+layout vectorizes perfectly on the VPU; the fixed-count (non-adaptive) path
+is simply the mask-all-valid special case, matching the reference's
+`_sample_along_depth` semantics exactly.
+
+All functions are per-batch-element; vmap over batch at call sites.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.ops import camera
+from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from gdb_nerf_tpu.ops.mip import mip_texture_fetch
+
+
+class RayBundle(NamedTuple):
+    """Per-target-view ray geometry grouped into b×b bundles."""
+
+    rays_o: jax.Array  # (3,) camera center (world)
+    bundle_dirs: jax.Array  # (H, W, b*b, 3) per-ray unnormalized directions
+    uv: jax.Array  # (H, W, 2) normalized bundle-center pixel coords [-1, 1]
+    cos: jax.Array  # (H, W) cos(bundle axis, camera z-axis)
+    disk_radius: jax.Array  # () bundle disk radius on the z=1 plane
+    near: jax.Array  # () scene near depth
+    far: jax.Array  # () scene far depth
+
+
+class BundleSamples(NamedTuple):
+    """Dense samples along bundles. N = H*W bundles, S = max samples."""
+
+    z_vals: jax.Array  # (H, W, S) sample depth (or disparity) at bin midpoints
+    z_metric: jax.Array  # (H, W, S) metric depth of samples
+    valid: jax.Array  # (H, W, S) bool validity mask
+    uvd: jax.Array  # (H, W, S, 3) normalized volume coords of sphere centers
+    ball_radii: jax.Array  # (H, W, S) sphere radii of samples
+    samples_per_bundle: jax.Array  # (H, W) number of valid samples
+
+
+def make_ray_bundles(
+    tar_ext: jax.Array,
+    tar_int: jax.Array,
+    im_size: tuple[int, int],
+    near: jax.Array,
+    far: jax.Array,
+    b_size: int,
+) -> RayBundle:
+    """Build per-pixel rays and group them into b×b bundles.
+
+    Matches the geometry of bundle_sampler.build_rays + _assemble_bundles
+    (/root/reference/networks/gdb_nerf/bundle_sampler.py:30-120): bundle
+    direction = mean of member-ray directions, bundle uv = mean of member
+    pixel coords, disk radius = b_size * target pixel radius.
+    """
+    H_orig, W_orig = im_size
+    H, W = H_orig // b_size, W_orig // b_size
+    rays_o, rays_d, uv, z_axis = camera.build_rays(tar_ext, tar_int, H_orig, W_orig)
+
+    # Group rays into bundles: (H, b, W, b, 3) -> (H, W, b*b, 3)
+    rd = rays_d.reshape(H, b_size, W, b_size, 3)
+    bundle_d = rd.mean(axis=(1, 3))  # (H, W, 3)
+    bundle_dirs = rd.transpose(0, 2, 1, 3, 4).reshape(H, W, b_size * b_size, 3)
+
+    cos = jnp.sum(bundle_d * z_axis, axis=-1) / jnp.linalg.norm(bundle_d, axis=-1)
+    buv = uv.reshape(H, b_size, W, b_size, 2).mean(axis=(1, 3))
+    disk_radius = b_size * camera.pixel_radius(tar_int)
+
+    return RayBundle(rays_o, bundle_dirs, buv, cos, disk_radius, near, far)
+
+
+def sample_bundles(
+    rb: RayBundle,
+    depth_range: jax.Array,
+    vol_range: jax.Array,
+    max_num_samples: int,
+    global_num_depth: int,
+    inv_depth: bool,
+    is_adaptive: bool,
+) -> BundleSamples:
+    """Place samples inside each bundle's depth confidence interval.
+
+    Args:
+      rb: ray bundles for the target view.
+      depth_range: (2, H, W) per-bundle metric-depth interval (near, far).
+      vol_range: (2, H, W) metric-depth range of the cost volume hypotheses.
+      max_num_samples: S, the static per-bundle sample budget.
+      global_num_depth: defines min spacing = full-range / global_num_depth.
+      inv_depth: march uniformly in disparity instead of depth.
+      is_adaptive: shrink per-bundle sample counts to
+        ceil(interval / min_spacing), clamped to [1, S].
+
+    Returns:
+      BundleSamples with dense (H, W, S) layout and validity mask.
+    """
+    dtype = depth_range.dtype
+    H, W = depth_range.shape[1:]
+    S = max_num_samples
+
+    if inv_depth:
+        depth_range = 1.0 / depth_range
+        vol_range = 1.0 / vol_range
+        min_interval = (1.0 / rb.near - 1.0 / rb.far) / global_num_depth
+    else:
+        min_interval = (rb.far - rb.near) / global_num_depth
+
+    b_near = depth_range[0]  # (H, W)
+    b_far = depth_range[1]
+
+    if is_adaptive:
+        spb = jnp.ceil(jnp.abs(b_far - b_near) / min_interval)
+        spb = jnp.clip(spb, 1.0, float(S))
+    else:
+        spb = jnp.full((H, W), float(S), dtype=dtype)
+
+    idx = jnp.arange(S + 1, dtype=dtype)  # (S+1,)
+    t_vals = b_near[..., None] + (b_far - b_near)[..., None] / spb[..., None] * idx
+    t_starts = t_vals[..., :-1]
+    t_ends = t_vals[..., 1:]
+    z_vals = 0.5 * (t_starts + t_ends)  # (H, W, S)
+    valid = jnp.arange(S)[None, None, :] < spb[..., None]
+
+    vol_near = vol_range[0][..., None]
+    vol_far = vol_range[1][..., None]
+    d = 2.0 * (z_vals - vol_near) / (vol_far - vol_near) - 1.0
+    uvd = jnp.concatenate(
+        [jnp.broadcast_to(rb.uv[:, :, None, :], (H, W, S, 2)), d[..., None]], axis=-1
+    )
+
+    z_metric = 1.0 / z_vals if inv_depth else z_vals
+
+    # Cone geometry -> per-bundle unit ball radius, scaled by distance of the
+    # sphere center from the camera (bundle_sampler.py:258-263).
+    cos = rb.cos
+    tan = jnp.sqrt(jnp.maximum(1.0 / jnp.square(cos) - 1.0, 1e-12))
+    unit_radius = (
+        rb.disk_radius * cos / jnp.sqrt(jnp.square(tan - rb.disk_radius) + 1.0)
+    )  # (H, W)
+
+    bundle_d_mean = rb.bundle_dirs.mean(axis=2)  # (H, W, 3)
+    # |center - origin| = z * |mean_dir| since center = o + mean_dir * z.
+    distances = z_metric * jnp.linalg.norm(bundle_d_mean, axis=-1)[..., None]
+    ball_radii = distances * unit_radius[..., None]  # (H, W, S)
+
+    return BundleSamples(z_vals, z_metric, valid, uvd, ball_radii, spb)
+
+
+class EncodedSamples(NamedTuple):
+    """Per-sample features gathered from source views and the cost volume."""
+
+    rgbs: jax.Array  # (V, H, W, S, b*b, 3) per-ray source RGB
+    mip_feat: jax.Array  # (V, H, W, S, F) anti-aliased source features (F = feat+3)
+    ray_diff: jax.Array  # (V, H, W, S, 4) direction difference + dot
+    vox_feat: jax.Array  # (H, W, S, voxel_dim) cost-volume features
+
+
+def encode_samples(
+    rb: RayBundle,
+    samples: BundleSamples,
+    src_images: jax.Array,
+    img_feat: jax.Array,
+    img_feat_pyramid: list[jax.Array],
+    feat_volume: jax.Array,
+    src_exts: jax.Array,
+    src_ints: jax.Array,
+    max_mipmap_level: int,
+) -> EncodedSamples:
+    """Sphere-based encoding of bundle samples from all source views.
+
+    TPU-native equivalent of BundleSampler.encode
+    (/root/reference/networks/gdb_nerf/bundle_sampler.py:267-371): voxel
+    features via trilinear cost-volume lookup, per-ray RGB via bilinear
+    image gathers, anti-aliased source features via a fractional-LOD mip
+    pyramid fetch (replacing nvdiffrast), and IBRNet-style ray-difference
+    features.  The reference's per-batch python loop becomes a vmap.
+
+    Args:
+      rb: ray bundles (provides rays_o and bundle geometry).
+      samples: dense bundle samples.
+      src_images: (V, H_orig, W_orig, 3) source images.
+      img_feat: (V, Hf, Wf, F) source feature+rgb maps at bundle resolution.
+      img_feat_pyramid: list of (V, Hf/2^l, Wf/2^l, F) mip levels of
+        img_feat, levels 0..max_mipmap_level (level 0 == img_feat).
+      feat_volume: (D, Hv, Wv, C) regularized cost volume (channels-last).
+      src_exts: (V, 4, 4), src_ints: (V, 3, 3) at original image resolution.
+      max_mipmap_level: highest mip level to use.
+
+    Returns:
+      EncodedSamples.
+    """
+    V = src_images.shape[0]
+    H_orig, W_orig = src_images.shape[1:3]
+    H, W, S = samples.z_vals.shape
+    bsq = rb.bundle_dirs.shape[2]
+    b_size = int(round(bsq**0.5))
+    Hf, Wf = img_feat.shape[1:3]
+
+    # Voxel-aligned features from the cost volume.
+    vox_feat = grid_sample_3d(feat_volume, samples.uvd, padding_mode="border")
+
+    # World positions of every member ray sample: (H, W, S, bsq, 3).
+    rays_xyz = (
+        rb.rays_o
+        + rb.bundle_dirs[:, :, None, :, :] * samples.z_metric[..., None, None]
+    )
+    bundle_xyz = rays_xyz.mean(axis=3)  # (H, W, S, 3) sphere centers (world)
+
+    tar_cam_xyz = rb.rays_o
+    src_cam_xyz = jax.vmap(lambda e: camera.invert_extrinsics(e)[:3, 3])(src_exts)
+
+    # Source intrinsics at bundle-feature resolution; pixel radius there.
+    scale = jnp.array(
+        [[1.0 / b_size], [1.0 / b_size], [1.0]], dtype=src_ints.dtype
+    )  # (3,1) row scaling
+    src_ints_scaled = src_ints * scale[None]
+    src_pix_radius = jax.vmap(camera.pixel_radius)(src_ints_scaled)  # (V,)
+
+    def per_view(src_img, levels, ext, K, K_scaled, cam_xyz, pix_r):
+        # Member rays -> source camera / image coords.
+        cam = camera.mm(rays_xyz, ext[:3, :3].T) + ext[:3, 3]  # (H, W, S, bsq, 3)
+        img = camera.mm(cam, K.T)
+        zc = jnp.maximum(img[..., 2], 1e-6)
+        gx = 2.0 * (img[..., 0] / zc) / W_orig - 1.0
+        gy = 2.0 * (img[..., 1] / zc) / H_orig - 1.0
+        rgbs = grid_sample_2d(
+            src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
+        )  # (H, W, S, bsq, 3)
+
+        # Sphere centers in source camera coords.
+        ccenter = cam.mean(axis=3)  # (H, W, S, 3)
+        dist = jnp.linalg.norm(ccenter, axis=-1)
+        sec_sq = jnp.square(dist / ccenter[..., 2])
+        ratio = jnp.square(dist / samples.ball_radii) - 1.0
+        proj_radii = sec_sq / (
+            jnp.sqrt(jnp.maximum(ratio, 1e-12))
+            + jnp.sqrt(jnp.maximum(sec_sq - 1.0, 1e-12))
+        )
+        lod = jnp.log2(proj_radii / pix_r)  # (H, W, S)
+
+        cimg = camera.mm(ccenter, K_scaled.T)
+        zc2 = jnp.maximum(cimg[..., 2], 1e-6)
+        u = (cimg[..., 0] / zc2) / Wf
+        v = (cimg[..., 1] / zc2) / Hf
+        mip_feat = mip_texture_fetch(
+            levels, jnp.stack([u, v], axis=-1), lod, max_mipmap_level
+        )  # (H, W, S, F)
+
+        # Ray difference features.
+        def l2norm(x):
+            return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+        tar_diff = l2norm(bundle_xyz - tar_cam_xyz)
+        src_diff = l2norm(bundle_xyz - cam_xyz)
+        direction = l2norm(tar_diff - src_diff)
+        dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
+        ray_diff = jnp.concatenate([direction, dot], axis=-1)  # (H, W, S, 4)
+
+        return rgbs, mip_feat, ray_diff
+
+    rgbs, mip_feat, ray_diff = jax.vmap(per_view)(
+        src_images,
+        [lvl for lvl in img_feat_pyramid],
+        src_exts,
+        src_ints,
+        src_ints_scaled,
+        src_cam_xyz,
+        src_pix_radius,
+    )
+
+    return EncodedSamples(rgbs, mip_feat, ray_diff, vox_feat)

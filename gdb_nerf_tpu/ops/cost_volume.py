@@ -1,0 +1,146 @@
+"""Plane-sweep cost volume construction and depth regression.
+
+TPU-native reimplementation of the reference's cascaded-MVS math
+(/root/reference/networks/gdb_nerf/depth_net.py:399-514): depth hypothesis
+generation (uniform in depth or disparity), differentiable homography warping
+of source features with a variance cost metric, and softmax-expectation depth
+regression with a variance-derived confidence interval.
+
+Everything here is per-batch-element and channels-last; vmap over batch at
+call sites.  The warp is expressed as one big batched gather over
+(views, depth, H, W) so XLA can fuse the projection arithmetic into the
+gather's index computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.ops import camera
+from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d
+
+
+def get_depth_values(near_far: jax.Array, num_depth: int, inv_depth: bool) -> jax.Array:
+    """Uniform depth (or disparity) hypotheses between near and far.
+
+    Args:
+      near_far: (2, H, W) per-pixel near / far values (H=W=1 for stage 0).
+      num_depth: number of hypothesis planes D.
+      inv_depth: sample uniformly in disparity (1/depth) instead of depth.
+
+    Returns:
+      (D, H, W) hypothesis values, ordered near -> far.  When ``inv_depth``
+      the values are *disparities* (so they decrease along D).
+    """
+    near = near_far[0:1]
+    far = near_far[1:2]
+    if inv_depth:
+        near = 1.0 / near
+        far = 1.0 / far
+    steps = jnp.linspace(0.0, 1.0, num_depth, dtype=near.dtype)[:, None, None]
+    return near + (far - near) * steps
+
+
+def warp_src_to_volume(
+    src_feat: jax.Array,
+    proj: jax.Array,
+    depth_values: jax.Array,
+) -> jax.Array:
+    """Warp one source feature map onto target depth planes.
+
+    Args:
+      src_feat: (Hs, Ws, C) source feature map.
+      proj: (3, 4) plane-sweep projection (camera.plane_sweep_projection).
+      depth_values: (D, Ht, Wt) *metric* depth per plane (already inverted if
+        the hypotheses were disparities).
+
+    Returns:
+      (D, Ht, Wt, C) warped features, zero where the projection falls outside
+      the source image.
+    """
+    Hs, Ws, _ = src_feat.shape
+    D, Ht, Wt = depth_values.shape
+    x, y = camera.pixel_centers(Ht, Wt, depth_values.dtype)
+    pix = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (Ht, Wt, 3)
+    base = camera.mm(pix, proj[:, :3].T)  # (Ht, Wt, 3)
+    xyz = base[None] * depth_values[..., None] + proj[:, 3]  # (D, Ht, Wt, 3)
+    z = jnp.maximum(xyz[..., 2], 1e-6)
+    gx = 2.0 * (xyz[..., 0] / z) / Ws - 1.0
+    gy = 2.0 * (xyz[..., 1] / z) / Hs - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)  # (D, Ht, Wt, 2)
+    return grid_sample_2d(src_feat, grid, padding_mode="zeros")
+
+
+def build_cost_volume(
+    src_feats: jax.Array,
+    src_exts: jax.Array,
+    src_ints: jax.Array,
+    tar_ext: jax.Array,
+    tar_int: jax.Array,
+    depth_values: jax.Array,
+    inv_depth: bool,
+) -> jax.Array:
+    """Variance-metric plane-sweep cost volume over all source views.
+
+    Args:
+      src_feats: (V, Hs, Ws, C) source feature maps.
+      src_exts: (V, 4, 4) source w2c extrinsics.
+      src_ints: (V, 3, 3) source intrinsics (already scaled to feature res).
+      tar_ext: (4, 4) target w2c extrinsics.
+      tar_int: (3, 3) target intrinsics (already scaled to volume res).
+      depth_values: (D, Ht, Wt) hypothesis values (disparity if inv_depth).
+      inv_depth: whether depth_values are disparities.
+
+    Returns:
+      (D, Ht, Wt, C) per-hypothesis feature variance across views.
+    """
+    metric_depth = 1.0 / depth_values if inv_depth else depth_values
+    projs = jax.vmap(
+        lambda e, k: camera.plane_sweep_projection(e, k, tar_ext, tar_int)
+    )(src_exts, src_ints)  # (V, 3, 4)
+    warped = jax.vmap(lambda f, p: warp_src_to_volume(f, p, metric_depth))(
+        src_feats, projs
+    )  # (V, D, Ht, Wt, C)
+    mean = jnp.mean(warped, axis=0)
+    return jnp.mean(jnp.square(warped), axis=0) - jnp.square(mean)
+
+
+def depth_regression(
+    depth_values: jax.Array,
+    depth_prob: jax.Array,
+    ci_scale: float,
+    inv_depth: bool,
+):
+    """Softmax-expectation depth plus a std-derived confidence interval.
+
+    Args:
+      depth_values: (D, H, W) hypothesis values (disparity if inv_depth).
+      depth_prob: (D, H, W) softmax probability over hypotheses.
+      ci_scale: half-width of the interval in units of the std.
+      inv_depth: whether depth_values are disparities.
+
+    Returns:
+      depth: (H, W) expected *metric* depth.
+      ci: (2, H, W) metric-depth confidence interval (near, far), clamped to
+        the hypothesis range.
+    """
+    expect = jnp.sum(depth_prob * depth_values, axis=0, keepdims=True)  # (1, H, W)
+    var = jnp.sum(depth_prob * jnp.square(depth_values - expect), axis=0, keepdims=True)
+    std = jnp.sqrt(jnp.maximum(var, 1e-12))
+    half = ci_scale * std
+
+    if inv_depth:
+        # Hypotheses are disparities: depth_values[0] is the largest
+        # (nearest) disparity, depth_values[-1] the smallest.  Clamp the
+        # disparity interval to the hypothesis range, then invert.
+        hi = jnp.minimum(expect + half, depth_values[0:1])
+        lo = jnp.maximum(expect - half, depth_values[-1:])
+        ci = 1.0 / jnp.concatenate([hi, lo], axis=0)
+        depth = 1.0 / expect
+    else:
+        lo = jnp.maximum(expect - half, depth_values[0:1])
+        hi = jnp.minimum(expect + half, depth_values[-1:])
+        ci = jnp.concatenate([lo, hi], axis=0)
+        depth = expect
+    return depth[0], ci

@@ -1,0 +1,67 @@
+"""Image resizing with torch-interpolate-compatible semantics.
+
+The reference leans on ``F.interpolate`` (bilinear, align_corners=False,
+no antialias; and legacy 'nearest') throughout the pipeline.  jax.image.resize
+uses different (antialiased / half-pixel-nearest) conventions, so these are
+implemented explicitly on top of our grid-sample primitives:
+
+  * bilinear: dst pixel i samples src coordinate ``(i + 0.5) * scale - 0.5``
+    with edge clamping — exactly torch's align_corners=False, antialias=False.
+  * nearest: src index ``floor(i * in / out)`` — torch's legacy 'nearest'.
+
+Channels-last, un-batched; vmap for batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d
+
+
+def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of (H, W, C) to (out_h, out_w, C)."""
+    H, W, _ = img.shape
+    out_h, out_w = out_hw
+    if (out_h, out_w) == (H, W):
+        return img
+    # Normalized dst pixel centers map to [-1, 1] src coords directly under
+    # the align_corners=False convention.
+    gx = 2.0 * (jnp.arange(out_w, dtype=img.dtype) + 0.5) / out_w - 1.0
+    gy = 2.0 * (jnp.arange(out_h, dtype=img.dtype) + 0.5) / out_h - 1.0
+    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (oh, ow, 2)
+    return grid_sample_2d(img, grid, padding_mode="border")
+
+
+def resize_nearest(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Legacy-torch nearest resize of (H, W, C) (or (H, W)) images."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W, _ = img.shape
+    out_h, out_w = out_hw
+    if (out_h, out_w) != (H, W):
+        iy = jnp.floor(jnp.arange(out_h) * (H / out_h)).astype(jnp.int32)
+        ix = jnp.floor(jnp.arange(out_w) * (W / out_w)).astype(jnp.int32)
+        img = img[iy][:, ix]
+    return img[..., 0] if squeeze else img
+
+
+def upsample_nearest_2x(img: jax.Array) -> jax.Array:
+    """Fast 2x nearest upsample of (H, W, C) — equals torch nearest for
+    integer factors."""
+    H, W, C = img.shape
+    return jnp.broadcast_to(img[:, None, :, None, :], (H, 2, W, 2, C)).reshape(
+        2 * H, 2 * W, C
+    )
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Rearrange (H, W, C*r*r) -> (H*r, W*r, C), channel-major block order
+    (matches torch.nn.functional.pixel_shuffle on NCHW tensors)."""
+    H, W, Crr = x.shape
+    C = Crr // (r * r)
+    x = x.reshape(H, W, C, r, r)
+    x = x.transpose(0, 3, 1, 4, 2)  # (H, r, W, r, C)
+    return x.reshape(H * r, W * r, C)

@@ -1,0 +1,67 @@
+"""Differential tests of grid sampling against torch.nn.functional.grid_sample.
+
+torch (CPU) is the executable specification of the conventions the reference
+pipeline relies on (align_corners=False, border/zeros padding).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_grid_sample_2d_matches_torch(rng, padding):
+    H, W, C = 13, 17, 5
+    N = 200
+    img = rng.standard_normal((H, W, C)).astype(np.float32)
+    # Include far out-of-range coordinates to exercise padding.
+    grid = (rng.standard_normal((N, 2)) * 1.2).astype(np.float32)
+
+    ours = np.asarray(grid_sample_2d(jnp.array(img), jnp.array(grid), padding))
+
+    timg = torch.from_numpy(img).permute(2, 0, 1)[None]  # (1, C, H, W)
+    tgrid = torch.from_numpy(grid)[None, :, None, :]  # (1, N, 1, 2)
+    ref = F.grid_sample(
+        timg, tgrid, mode="bilinear", padding_mode=padding, align_corners=False
+    )
+    ref = ref[0, :, :, 0].permute(1, 0).numpy()  # (N, C)
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_grid_sample_3d_matches_torch(rng, padding):
+    D, H, W, C = 7, 9, 11, 4
+    N = 150
+    vol = rng.standard_normal((D, H, W, C)).astype(np.float32)
+    grid = (rng.standard_normal((N, 3)) * 1.2).astype(np.float32)
+
+    ours = np.asarray(grid_sample_3d(jnp.array(vol), jnp.array(grid), padding))
+
+    tvol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]  # (1, C, D, H, W)
+    tgrid = torch.from_numpy(grid)[None, :, None, None, :]  # (1, N, 1, 1, 3)
+    ref = F.grid_sample(
+        tvol, tgrid, mode="bilinear", padding_mode=padding, align_corners=False
+    )
+    ref = ref[0, :, :, 0, 0].permute(1, 0).numpy()  # (N, C)
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_2d_batched_vmap(rng):
+    import jax
+
+    B, H, W, C, N = 3, 8, 8, 2, 20
+    imgs = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    grids = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+    out = jax.vmap(grid_sample_2d, in_axes=(0, 0, None))(
+        jnp.array(imgs), jnp.array(grids), "border"
+    )
+    assert out.shape == (B, N, C)
+    single = grid_sample_2d(jnp.array(imgs[1]), jnp.array(grids[1]))
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single), rtol=1e-6)

@@ -1,0 +1,85 @@
+"""Tests for the mip-pyramid texture fetch (nvdiffrast replacement)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.ops import mip
+
+
+def test_pyramid_shapes(rng):
+    img = jnp.array(rng.standard_normal((16, 24, 5)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    assert [l.shape for l in levels] == [
+        (16, 24, 5),
+        (8, 12, 5),
+        (4, 6, 5),
+        (2, 3, 5),
+    ]
+    # Level 1 is the 2x2 box average of level 0.
+    np.testing.assert_allclose(
+        np.asarray(levels[1][0, 0]),
+        np.asarray(img[:2, :2].mean(axis=(0, 1))),
+        rtol=1e-6,
+    )
+
+
+def test_pyramid_batched(rng):
+    img = jnp.array(rng.standard_normal((3, 8, 8, 2)).astype(np.float32))
+    levels = mip.build_pyramid(img, 2)
+    assert levels[2].shape == (3, 2, 2, 2)
+
+
+def test_fetch_texel_centers_level0(rng):
+    """At integer LOD 0 and texel centers, the fetch returns exact texels."""
+    H, W, C = 8, 8, 3
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    uv = jnp.array(
+        np.stack([(xs + 0.5) / W, (ys + 0.5) / H], axis=-1), dtype=jnp.float32
+    )
+    lod = jnp.zeros((H, W))
+    out = mip.mip_texture_fetch(levels, uv, lod, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), rtol=1e-5)
+
+
+def test_fetch_integer_lod_matches_level(rng):
+    """At integer LOD l, the fetch equals a bilinear fetch from level l."""
+    img = jnp.array(rng.standard_normal((16, 16, 2)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    uv = jnp.array(np.random.default_rng(1).uniform(0.1, 0.9, (50, 2)), jnp.float32)
+    for l in range(4):
+        out = mip.mip_texture_fetch(levels, uv, jnp.full((50,), float(l)), 3)
+        direct = mip._bilinear_clamp(levels[l], uv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct), rtol=1e-5)
+
+
+def test_fetch_fractional_lod_lerps(rng):
+    img = jnp.array(rng.standard_normal((16, 16, 2)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    uv = jnp.array([[0.5, 0.5]])
+    a = mip.mip_texture_fetch(levels, uv, jnp.array([1.0]), 3)
+    b = mip.mip_texture_fetch(levels, uv, jnp.array([2.0]), 3)
+    mid = mip.mip_texture_fetch(levels, uv, jnp.array([1.5]), 3)
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(0.5 * (a + b)), rtol=1e-5)
+
+
+def test_fetch_lod_clamped(rng):
+    img = jnp.array(rng.standard_normal((8, 8, 2)).astype(np.float32))
+    levels = mip.build_pyramid(img, 2)
+    uv = jnp.array([[0.3, 0.7]])
+    hi = mip.mip_texture_fetch(levels, uv, jnp.array([10.0]), 2)
+    top = mip.mip_texture_fetch(levels, uv, jnp.array([2.0]), 2)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(top), rtol=1e-6)
+    lo = mip.mip_texture_fetch(levels, uv, jnp.array([-5.0]), 2)
+    base = mip.mip_texture_fetch(levels, uv, jnp.array([0.0]), 2)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(base), rtol=1e-6)
+
+
+def test_clamp_boundary(rng):
+    """Out-of-range uv clamps to the border texel."""
+    img = jnp.array(rng.standard_normal((8, 8, 2)).astype(np.float32))
+    levels = mip.build_pyramid(img, 1)
+    out = mip.mip_texture_fetch(levels, jnp.array([[-1.0, -1.0]]), jnp.array([0.0]), 1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(img[0, 0]), rtol=1e-5)
