@@ -1,9 +1,10 @@
-"""3D U-Nets for cost-volume regularization (NDHWC).
+"""3D U-Nets for cost-volume regularization (NDHWC, batched).
 
 Capability-equivalent of the reference CostRegNet / CostRegNet_small
 (/root/reference/networks/gdb_nerf/cost_reg_net.py): encoder with stride-2
 3D convs, transposed-conv decoder with additive skips, and two heads — an
 8-dim voxel feature volume and a softmax depth-probability volume.
+BatchNorm statistics are taken over (batch, D, H, W) as in torch BN3d.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ class CostRegNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
-        """Args: x (D, H, W, C). Returns (feat (D,H,W,out), prob (D,H,W))."""
+        """Args: x (B, D, H, W, C). Returns (feat (B,D,H,W,out), prob (B,D,H,W))."""
         bc = self.base_channels
         kw = dict(kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name)
         skw = dict(
@@ -34,19 +35,23 @@ class CostRegNet(nn.Module):
             padding=(1, 1, 1),
             axis_name=self.axis_name,
         )
-        x = x[None]
+        # Blocks are created in execution order so converted torch
+        # checkpoints map onto ConvBlock_{i} sequentially.
         c0 = ConvBlock(bc, **kw)(x, train)
-        c2 = ConvBlock(bc * 2, **kw)(ConvBlock(bc * 2, **skw)(c0, train), train)
-        c4 = ConvBlock(bc * 4, **kw)(ConvBlock(bc * 4, **skw)(c2, train), train)
-        bott = ConvBlock(bc * 8, **kw)(ConvBlock(bc * 8, **skw)(c4, train), train)
+        d1 = ConvBlock(bc * 2, **skw)(c0, train)
+        c2 = ConvBlock(bc * 2, **kw)(d1, train)
+        d3 = ConvBlock(bc * 4, **skw)(c2, train)
+        c4 = ConvBlock(bc * 4, **kw)(d3, train)
+        d5 = ConvBlock(bc * 8, **skw)(c4, train)
+        bott = ConvBlock(bc * 8, **kw)(d5, train)
 
-        up = c4 + DeconvBlock(bc * 4, axis_name=self.axis_name)(bott[0], train)[None]
-        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(up[0], train)[None]
-        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up[0], train)[None]
+        up = c4 + DeconvBlock(bc * 4, axis_name=self.axis_name)(bott, train)
+        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(up, train)
+        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up, train)
 
-        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)[0]
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[0, ..., 0]
-        prob = nn.softmax(logits, axis=0)  # over depth (D) axis
+        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[..., 0]
+        prob = nn.softmax(logits, axis=1)  # over depth (D) axis
         return feat, prob
 
 
@@ -67,15 +72,16 @@ class CostRegNetSmall(nn.Module):
             padding=(1, 1, 1),
             axis_name=self.axis_name,
         )
-        x = x[None]
         c0 = ConvBlock(bc, **kw)(x, train)
-        c2 = ConvBlock(bc * 2, **kw)(ConvBlock(bc * 2, **skw)(c0, train), train)
-        bott = ConvBlock(bc * 4, **kw)(ConvBlock(bc * 4, **skw)(c2, train), train)
+        d1 = ConvBlock(bc * 2, **skw)(c0, train)
+        c2 = ConvBlock(bc * 2, **kw)(d1, train)
+        d3 = ConvBlock(bc * 4, **skw)(c2, train)
+        bott = ConvBlock(bc * 4, **kw)(d3, train)
 
-        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(bott[0], train)[None]
-        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up[0], train)[None]
+        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(bott, train)
+        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up, train)
 
-        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)[0]
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[0, ..., 0]
-        prob = nn.softmax(logits, axis=0)
+        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[..., 0]
+        prob = nn.softmax(logits, axis=1)
         return feat, prob

@@ -3,7 +3,7 @@
 Capability-equivalent of the reference Decoder
 (/root/reference/networks/gdb_nerf/decoder_rdn.py): in-conv, a stack of
 residual dense blocks with SE channel attention, log2(b) PixelShuffle
-upsampling stages, and a 1x1 output conv.  NHWC, un-batched (vmap outside).
+upsampling stages, and a 1x1 output conv.  NHWC, batched.
 """
 
 from __future__ import annotations
@@ -23,11 +23,11 @@ class SEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (H, W, C) -> channel-reweighted (H, W, C)."""
-        y = x.mean(axis=(0, 1))  # (C,)
+        """x: (B, H, W, C) -> channel-reweighted (B, H, W, C)."""
+        y = x.mean(axis=(1, 2))  # (B, C)
         y = nn.relu(nn.Dense(self.channels // self.reduction, use_bias=False)(y))
         y = nn.sigmoid(nn.Dense(self.channels, use_bias=False)(y))
-        return x * y
+        return x * y[:, None, None, :]
 
 
 class ResidualDenseBlock(nn.Module):
@@ -56,7 +56,7 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (H, W, C_in) -> (H*b, W*b, out_channels)."""
+        """x: (B, H, W, C_in) -> (B, H*b, W*b, out_channels)."""
         if self.upscale_factor <= 0 or (
             self.upscale_factor & (self.upscale_factor - 1)
         ):
@@ -68,5 +68,5 @@ class Decoder(nn.Module):
         h = shallow + h
         for _ in range(int(round(math.log2(self.upscale_factor)))):
             h = nn.Conv(4 * self.num_feats, (3, 3), padding=1)(h)
-            h = pixel_shuffle(h, 2)
+            h = jax.vmap(lambda t: pixel_shuffle(t, 2))(h)
         return nn.Conv(self.out_channels, (1, 1))(h)

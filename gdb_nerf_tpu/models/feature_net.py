@@ -4,7 +4,9 @@ Capability-equivalent of the reference FeatureNet
 (/root/reference/networks/gdb_nerf/feature_net.py): a 3-level conv pyramid
 (stride-2 downsamples to 1/2 and 1/4) with nearest-upsample + 1x1-lateral
 top-down merging and per-level output heads producing features of dims
-``out_channels`` at scales (1/4, 1/2, 1).  NHWC layout.
+``out_channels`` at scales (1/4, 1/2, 1).  NHWC layout, batched input —
+BatchNorm statistics are computed over the full (batch*views) image set, as
+in the reference.
 """
 
 from __future__ import annotations
@@ -25,10 +27,10 @@ class FeatureNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
-        """Args: x (H, W, 3) image. Returns [coarse(1/4), mid(1/2), fine(1)]."""
+        """Args: x (N, H, W, 3) images. Returns [coarse(1/4), mid(1/2), fine(1)]
+        each (N, h, w, c)."""
         bc = self.base_channels
         kw = dict(axis_name=self.axis_name)
-        x = x[None]  # conv wants a batch dim; stripped at the end
 
         c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(x, train)
         c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(c0, train)
@@ -41,10 +43,11 @@ class FeatureNet(nn.Module):
 
         out0 = nn.Conv(self.out_channels[0], (1, 1))(c2)
 
-        intra = upsample_nearest_2x(c2[0])[None] + nn.Conv(bc * 4, (1, 1))(c1)
+        up = jax.vmap(upsample_nearest_2x)
+        intra = up(c2) + nn.Conv(bc * 4, (1, 1))(c1)
         out1 = nn.Conv(self.out_channels[1], (3, 3), padding=1, use_bias=False)(intra)
 
-        intra = upsample_nearest_2x(intra[0])[None] + nn.Conv(bc * 4, (1, 1))(c0)
+        intra = up(intra) + nn.Conv(bc * 4, (1, 1))(c0)
         out2 = nn.Conv(self.out_channels[2], (3, 3), padding=1, use_bias=False)(intra)
 
-        return [out0[0], out1[0], out2[0]]
+        return [out0, out1, out2]

@@ -81,13 +81,13 @@ class DeconvBlock(nn.Module):
             dn = ("NDHWC", "DHWIO", "NDHWC")
         pad = [(k - 1 - p, k - 1 - p + op)] * self.ndim
         y = jax.lax.conv_general_dilated(
-            x[None],
+            x,
             kernel.astype(x.dtype),
             window_strides=(1,) * self.ndim,
             padding=pad,
             lhs_dilation=(s,) * self.ndim,
             dimension_numbers=dn,
-        )[0]
+        )
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

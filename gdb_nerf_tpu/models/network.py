@@ -1,0 +1,259 @@
+"""Top-level GDB-NeRF network: FPN -> MVS cascade -> bundle render -> decode.
+
+Capability-equivalent of the reference Network
+(/root/reference/networks/gdb_nerf/network.py): extracts pyramid features
+from the source views, runs the cascaded MVS to get per-pixel depth
+confidence intervals, samples ray *bundles* inside those intervals, encodes
+each bundle sample from the source views (mip texture + voxel features),
+evaluates one shared MLP per bundle sample, composites, and decodes the
+bundle feature map into the full-resolution image as coarse (RDN decoder) +
+fine (pixel-shuffled member-ray RGB) components.
+
+Layout: channels-last everywhere; batch handled by vmap for the pure ops and
+natively by the flax modules (BatchNorm sees the whole batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gdb_nerf_tpu.models.decoder_rdn import Decoder
+from gdb_nerf_tpu.models.depth_net import DepthNet
+from gdb_nerf_tpu.models.feature_net import FeatureNet
+from gdb_nerf_tpu.models.nerf_head import BundleNeRF
+from gdb_nerf_tpu.ops import bundles, mip, render
+from gdb_nerf_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+class Network(nn.Module):
+    # FPN
+    fpn_base_channels: int = 8
+    fpn_feat_dims: Sequence[int] = (32, 16, 8)
+    fpn_feat_scales: Sequence[float] = (0.25, 0.5, 1.0)
+    # MVS
+    mvs_vol_levels: Sequence[int] = (0, 1)
+    mvs_vol_scales: Sequence[float] = (0.125, 0.5)
+    mvs_ci_scales: Sequence[float] = (1.0, 1.0)
+    mvs_voxel_dim: int = 8
+    mvs_num_depth: Sequence[int] = (64, 8)
+    mvs_inv_depth: Sequence[bool] = (True, False)
+    mvs_num_samples: Sequence[int] = (8,)
+    # NeRF / bundles
+    bundle_size: int = 2
+    global_num_depth: int = 64
+    max_num_samples: int = 6
+    max_mipmap_level: int = 3
+    nerf_hidden_dims: int = 64
+    is_adaptive: bool = False
+    viewdir_agg: bool = True
+    dec_layers: int = 3
+    reweighting: bool = False
+    axis_name: Optional[str] = None
+
+    @classmethod
+    def from_config(cls, cfg: Any, axis_name: Optional[str] = None) -> "Network":
+        """Build from a config namespace with fpn/mvs/nerf sections."""
+        return cls(
+            fpn_base_channels=cfg.fpn.base_channels,
+            fpn_feat_dims=tuple(cfg.fpn.feat_dims),
+            fpn_feat_scales=tuple(cfg.fpn.feat_scales),
+            mvs_vol_levels=tuple(cfg.mvs.vol_levels),
+            mvs_vol_scales=tuple(cfg.mvs.vol_scales),
+            mvs_ci_scales=tuple(cfg.mvs.ci_scales),
+            mvs_voxel_dim=cfg.mvs.voxel_dim,
+            mvs_num_depth=tuple(cfg.mvs.num_depth),
+            mvs_inv_depth=tuple(cfg.mvs.inv_depth),
+            mvs_num_samples=tuple(cfg.mvs.num_samples),
+            bundle_size=cfg.nerf.bundle_size,
+            global_num_depth=cfg.nerf.global_num_depth,
+            max_num_samples=cfg.nerf.max_num_samples,
+            max_mipmap_level=cfg.nerf.max_mipmap_level,
+            nerf_hidden_dims=cfg.nerf.nerf_hidden_dims,
+            is_adaptive=cfg.nerf.is_adaptive,
+            viewdir_agg=cfg.nerf.viewdir_agg,
+            dec_layers=cfg.nerf.dec_layers,
+            reweighting=cfg.nerf.reweighting,
+            axis_name=axis_name,
+        )
+
+    @property
+    def feat_level(self) -> int:
+        """First FPN level whose scale reaches the bundle-grid resolution."""
+        lvl = 0
+        while (
+            lvl < len(self.fpn_feat_scales)
+            and self.fpn_feat_scales[lvl] < 1.0 / self.bundle_size
+        ):
+            lvl += 1
+        return lvl
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        """Render the target view.
+
+        Args:
+          batch: {
+            'src_views': {'rgb': (B, V, H, W, 3), 'extrinsics': (B, V, 4, 4),
+                          'intrinsics': (B, V, 3, 3)},
+            'tar_views': {'extrinsics': (B, 4, 4), 'intrinsics': (B, 3, 3)},
+            'near_far': (B, 2)}.
+            Any render_scale resizing happens in the host data pipeline.
+          train: enables stage-NeRF photometric heads + BN batch stats.
+
+        Returns:
+          ret: {'rgb': (B, H, W, 3), 'nerf_depth': (B, H, W),
+                'mvs_depth': (B, H/b, W/b), 'opacity': (B, H, W)}.
+          mvs_depths: per-stage MVS depth list.
+          blend_rgbs: per-stage stage-NeRF renders (train only, else []).
+        """
+        b = self.bundle_size
+        if b <= 0 or (b & (b - 1)) != 0:
+            raise ValueError("bundle_size must be a power of 2")
+        src = batch["src_views"]
+        tar = batch["tar_views"]
+        src_images = src["rgb"]
+        B, V, H_orig, W_orig, _ = src_images.shape
+        src_exts, src_ints = src["extrinsics"], src["intrinsics"]
+        tar_exts, tar_ints = tar["extrinsics"], tar["intrinsics"]
+        near_far = batch["near_far"]
+
+        # 1. FPN features over all source images.
+        flat = src_images.reshape(B * V, H_orig, W_orig, 3)
+        ms_feats = FeatureNet(
+            self.fpn_base_channels,
+            tuple(self.fpn_feat_dims),
+            self.axis_name,
+            name="feature_net",
+        )(flat, train)
+        ms_feats = [f.reshape(B, V, *f.shape[1:]) for f in ms_feats]
+
+        # 2. Cascaded MVS.
+        feat_scales = tuple(self.fpn_feat_scales[l] for l in self.mvs_vol_levels)
+        feat_dims = tuple(self.fpn_feat_dims[l] for l in self.mvs_vol_levels)
+        mvs = DepthNet(
+            base_channels=self.fpn_base_channels,
+            vol_levels=tuple(self.mvs_vol_levels),
+            vol_scales=tuple(self.mvs_vol_scales),
+            feat_scales=feat_scales,
+            feat_dims=feat_dims,
+            ci_scales=tuple(self.mvs_ci_scales),
+            voxel_dim=self.mvs_voxel_dim,
+            num_depth=tuple(self.mvs_num_depth),
+            inv_depth=tuple(self.mvs_inv_depth),
+            num_samples=tuple(self.mvs_num_samples),
+            nerf_hidden_dims=self.nerf_hidden_dims,
+            viewdir_agg=self.viewdir_agg,
+            axis_name=self.axis_name,
+            name="depth_net",
+        )(src_images, ms_feats, src_exts, src_ints, tar_exts, tar_ints, near_far, train)
+
+        depth_range = mvs["depth_ranges"][-1]  # (B, 2, h, w) metric CI
+        vol_range = mvs["vol_ranges"][-1]  # (B, 2, h, w) metric
+        feat_volume = mvs["volumes"][-1]  # (B, D, h, w, voxel_dim)
+        mvs_depth = mvs["depths"][-1]  # (B, h, w)
+
+        # 3. Bundle grid and per-bundle depth windows.
+        H, W = H_orig // b, W_orig // b
+        resize2 = jax.vmap(
+            lambda B2: jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(B2, 0, -1), (H, W)), -1, 0
+            )
+        )
+        if depth_range.shape[2:] != (H, W):
+            depth_range = resize2(depth_range)
+            vol_range = resize2(vol_range)
+            mvs_depth = jax.vmap(lambda d: resize_nearest(d, (H, W)))(mvs_depth)
+
+        rb = jax.vmap(
+            lambda te, ti, n, f: bundles.make_ray_bundles(
+                te, ti, (H_orig, W_orig), n, f, b
+            )
+        )(tar_exts, tar_ints, near_far[:, 0], near_far[:, 1])
+
+        inv = bool(self.mvs_inv_depth[-1])
+        samples = jax.vmap(
+            lambda r, dr, vr: bundles.sample_bundles(
+                r,
+                dr,
+                vr,
+                self.max_num_samples,
+                self.global_num_depth,
+                inv,
+                self.is_adaptive,
+            )
+        )(rb, depth_range, vol_range)
+
+        # 4. Source feature + rgb maps at bundle resolution, with mip pyramid.
+        img_feat = ms_feats[self.feat_level]
+        if img_feat.shape[2:4] != (H, W):
+            img_feat = jax.vmap(jax.vmap(lambda f: resize_bilinear(f, (H, W))))(
+                img_feat
+            )
+        src_small = jax.vmap(jax.vmap(lambda im: resize_bilinear(im, (H, W))))(
+            src_images
+        )
+        img_feat = jnp.concatenate([img_feat, src_small], axis=-1)  # (B,V,H,W,F+3)
+        pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
+
+        enc = jax.vmap(
+            bundles.encode_samples,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None),
+        )(rb, samples, src_images, img_feat, pyramid, feat_volume, src_exts,
+          src_ints, self.max_mipmap_level)
+
+        # 5. Bundle NeRF over every sample.
+        S = self.max_num_samples
+        bsq = b * b
+        rgbs_flat = enc.rgbs.reshape(B, V, H, W, S, bsq * 3)
+        payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
+        payload = jnp.moveaxis(payload, 1, -2)  # (B, H, W, S, V, P)
+        feat_rgb_dir = jnp.moveaxis(
+            jnp.concatenate([enc.mip_feat, enc.ray_diff], axis=-1), 1, -2
+        )  # (B, H, W, S, V, F+3+4)
+
+        sigma, feat = BundleNeRF(
+            self.nerf_hidden_dims,
+            self.mvs_voxel_dim,
+            self.viewdir_agg,
+            name="nerf",
+        )(enc.vox_feat, payload, feat_rgb_dir)
+
+        # 6. Composite per bundle (disparity-space accumulation when inv).
+        weights = render.weights_from_sigma(sigma, samples.valid)
+        feat_map, depth_map, opacity = render.composite(
+            weights, feat, samples.z_vals
+        )
+        nerf_depth = 1.0 / depth_map if inv else depth_map  # (B, H, W)
+
+        # 7. Decode: coarse RDN path + fine pixel-shuffle path.
+        rgb_bundle = feat_map[..., : bsq * 3].reshape(B, H, W, b, b, 3)
+        rgb_f = rgb_bundle.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, H * b, W * b, 3
+        )
+        rgb_c = Decoder(
+            out_channels=3,
+            num_feats=64,
+            num_layers=self.dec_layers,
+            upscale_factor=b,
+            name="upsampler",
+        )(feat_map[..., bsq * 3 :])
+
+        up_full = jax.vmap(lambda d: resize_bilinear(d[..., None], (H_orig, W_orig))[..., 0])
+        nerf_depth = up_full(nerf_depth)
+        opacity = up_full(opacity)
+
+        img = rgb_c + rgb_f
+        if self.reweighting:
+            img = 0.5 * (img + rgb_f)
+
+        ret = {
+            "rgb": img,
+            "nerf_depth": nerf_depth,
+            "mvs_depth": mvs_depth,
+            "opacity": opacity,
+        }
+        return ret, mvs["depths"], mvs["blend_rgbs"]

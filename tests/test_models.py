@@ -1,0 +1,157 @@
+"""Shape/sanity tests for the flax model components and the full Network."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.models import (
+    BundleNeRF,
+    CostRegNet,
+    CostRegNetSmall,
+    Decoder,
+    FeatureNet,
+    Network,
+    StageNeRF,
+)
+
+
+def test_feature_net_shapes(rng):
+    net = FeatureNet(base_channels=8, out_channels=(32, 16, 8))
+    x = jnp.array(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    vars_ = net.init(jax.random.PRNGKey(0), x, train=False)
+    feats = net.apply(vars_, x, train=False)
+    assert feats[0].shape == (2, 8, 12, 32)
+    assert feats[1].shape == (2, 16, 24, 16)
+    assert feats[2].shape == (2, 32, 48, 8)
+    assert "batch_stats" in vars_
+
+
+def test_feature_net_train_updates_batch_stats(rng):
+    net = FeatureNet()
+    x = jnp.array(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    vars_ = net.init(jax.random.PRNGKey(0), x, train=True)
+    _, new_state = net.apply(vars_, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+@pytest.mark.parametrize("cls,divisor", [(CostRegNetSmall, 4), (CostRegNet, 8)])
+def test_cost_reg_shapes(rng, cls, divisor):
+    D, H, W = divisor * 2, divisor * 2, divisor * 2
+    net = cls(out_channels=8, base_channels=8)
+    x = jnp.array(rng.standard_normal((1, D, H, W, 16)).astype(np.float32))
+    vars_ = net.init(jax.random.PRNGKey(0), x, train=False)
+    feat, prob = net.apply(vars_, x, train=False)
+    assert feat.shape == (1, D, H, W, 8)
+    assert prob.shape == (1, D, H, W)
+    np.testing.assert_allclose(np.asarray(prob.sum(axis=1)), 1.0, rtol=1e-5)
+
+
+def test_decoder_shapes(rng):
+    dec = Decoder(out_channels=3, num_feats=32, num_layers=2, upscale_factor=2)
+    x = jnp.array(rng.standard_normal((1, 8, 10, 19)).astype(np.float32))
+    vars_ = dec.init(jax.random.PRNGKey(0), x)
+    y = dec.apply(vars_, x)
+    assert y.shape == (1, 16, 20, 3)
+
+
+def test_bundle_nerf_shapes_and_view_invariance(rng):
+    N, S, V, F, P, vox = 6, 4, 3, 16 + 3, 12 + 16 + 3, 8
+    head = BundleNeRF(hid_dim=32, voxel_dim=vox)
+    vox_feat = jnp.array(rng.standard_normal((N, S, vox)).astype(np.float32))
+    payload = jnp.array(rng.standard_normal((N, S, V, P)).astype(np.float32))
+    frd = jnp.array(rng.standard_normal((N, S, V, F + 4)).astype(np.float32))
+    vars_ = head.init(jax.random.PRNGKey(0), vox_feat, payload, frd)
+    sigma, feat = head.apply(vars_, vox_feat, payload, frd)
+    assert sigma.shape == (N, S)
+    assert feat.shape == (N, S, P + vox)
+    assert np.isfinite(np.asarray(sigma)).all()
+    # Permuting the view axis must not change the output (softmax pooling).
+    perm = [2, 0, 1]
+    sigma_p, feat_p = head.apply(vars_, vox_feat, payload[:, :, perm], frd[:, :, perm])
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_p), atol=2e-5)
+
+
+def test_stage_nerf_shapes(rng):
+    N, S, V = 10, 8, 2
+    head = StageNeRF(hid_dim=32)
+    vox = jnp.array(rng.standard_normal((N, S, 8)).astype(np.float32))
+    ifd = jnp.array(rng.standard_normal((N, S, V, 32 + 3 + 4)).astype(np.float32))
+    vars_ = head.init(jax.random.PRNGKey(0), vox, ifd)
+    sigma, rgb = head.apply(vars_, vox, ifd)
+    assert sigma.shape == (N, S) and rgb.shape == (N, S, 3)
+
+
+def make_synthetic_batch(rng, B=1, V=2, H=64, W=64):
+    def cam(dx):
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = dx
+        ext[2, 3] = 4.0
+        return ext
+
+    K = np.array(
+        [[2.0 * W, 0, W / 2], [0, 2.0 * W, H / 2], [0, 0, 1]], dtype=np.float32
+    )
+    src_exts = np.stack([np.stack([cam(-0.3 + 0.6 * v / max(V - 1, 1)) for v in range(V)])] * B)
+    src_ints = np.broadcast_to(K, (B, V, 3, 3)).copy()
+    tar_exts = np.stack([cam(0.05)] * B)
+    tar_ints = np.broadcast_to(K, (B, 3, 3)).copy()
+    imgs = rng.uniform(0, 1, (B, V, H, W, 3)).astype(np.float32)
+    return {
+        "src_views": {
+            "rgb": jnp.array(imgs),
+            "extrinsics": jnp.array(src_exts),
+            "intrinsics": jnp.array(src_ints),
+        },
+        "tar_views": {
+            "extrinsics": jnp.array(tar_exts),
+            "intrinsics": jnp.array(tar_ints),
+        },
+        "near_far": jnp.array(np.tile([2.5, 6.0], (B, 1)).astype(np.float32)),
+    }
+
+
+TINY = dict(mvs_num_depth=(16, 8), max_num_samples=3)
+
+
+def test_network_forward_eval(rng):
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    (ret, mvs_depths, blend_rgbs) = net.apply(vars_, batch, train=False)
+    H, W = 64, 64
+    assert ret["rgb"].shape == (1, H, W, 3)
+    assert ret["nerf_depth"].shape == (1, H, W)
+    assert ret["opacity"].shape == (1, H, W)
+    assert ret["mvs_depth"].shape == (1, H // 2, W // 2)
+    assert len(mvs_depths) == 2
+    assert blend_rgbs == []
+    for v in [ret["rgb"], ret["nerf_depth"], ret["opacity"]]:
+        assert np.isfinite(np.asarray(v)).all()
+    # depth must land inside the scene range
+    d = np.asarray(ret["nerf_depth"])
+    assert (d > 2.0).all() and (d < 7.0).all()
+
+
+def test_network_forward_train_has_stage_renders(rng):
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=True)
+    (ret, mvs_depths, blend_rgbs), _ = net.apply(
+        vars_, batch, train=True, mutable=["batch_stats"]
+    )
+    assert len(blend_rgbs) == 1
+    assert blend_rgbs[0].shape == (1, 8, 8, 3)  # vol_scales[0] = 1/8 of 64
+    assert np.isfinite(np.asarray(blend_rgbs[0])).all()
+
+
+def test_network_adaptive_sampling(rng):
+    batch = make_synthetic_batch(rng)
+    net = Network(is_adaptive=True, **TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    ret, _, _ = net.apply(vars_, batch, train=False)
+    assert np.isfinite(np.asarray(ret["rgb"])).all()

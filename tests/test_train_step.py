@@ -1,0 +1,117 @@
+"""Training-step tests: gradient flow, loss decrease, schedules."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.models.network import Network
+from gdb_nerf_tpu.train.step import (
+    init_train_state,
+    make_train_step,
+    to_device_train,
+)
+from tests.test_models import make_synthetic_batch
+
+
+def _train_batch(rng, B=1, H=64, W=64):
+    batch = make_synthetic_batch(rng, B=B, V=2, H=H, W=W)
+    batch["tar_views"]["rgb"] = batch["src_views"]["rgb"][:, 0]
+    batch["tar_gt_ms"] = {
+        "rgb": [np.asarray(batch["src_views"]["rgb"][:, 0, ::8, ::8])]
+    }
+    return to_device_train(batch)
+
+
+def test_loss_decreases_when_overfitting_one_batch(rng):
+    batch = _train_batch(rng)
+    net = Network(mvs_num_depth=(16, 8), max_num_samples=3)
+    tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
+    state = init_train_state(net, tx, batch)
+    step = make_train_step(net, tx, [0.05], None, use_perceptual=False)
+    losses = []
+    for _ in range(8):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, f"no learning: {losses}"
+
+
+def test_all_params_receive_gradients(rng):
+    """Every parameter — including the train-only stage NeRF — must get a
+    nonzero gradient (the reference needed find_unused_parameters=True for
+    this; our loss touches all heads by construction)."""
+    from gdb_nerf_tpu.train.step import make_loss_fn
+
+    batch = _train_batch(rng)
+    net = Network(mvs_num_depth=(16, 8), max_num_samples=3)
+    tx = optax.adam(1e-3)
+    state = init_train_state(net, tx, batch)
+    loss_fn = make_loss_fn(net, [0.05], use_perceptual=False)
+    grads = jax.grad(lambda p: loss_fn(p, state.batch_stats, batch)[0])(
+        state.params
+    )
+    zero_paths = [
+        "/".join(str(k.key) for k in path)
+        for path, g in jax.tree_util.tree_leaves_with_path(grads)
+        if float(jnp.max(jnp.abs(g))) == 0.0
+    ]
+    # Structurally unused with bundle_size=2: the full-res FPN head (level 2
+    # feeds nothing — the reference has the same dead params, which is why
+    # it needs DDP find_unused_parameters=True).  SE squeeze layers can have
+    # stochastically dead ReLUs at init with tiny batches.
+    allowed = ("feature_net/Conv_3", "feature_net/Conv_4", "SEBlock")
+    zero_paths = [p for p in zero_paths if not any(a in p for a in allowed)]
+    assert not zero_paths, f"dead params: {zero_paths}"
+
+
+def test_lr_schedules():
+    from types import SimpleNamespace
+
+    from gdb_nerf_tpu.train.optim import make_lr_schedule
+
+    cfg = SimpleNamespace(
+        ep_iter=10,
+        train=SimpleNamespace(
+            lr=1.0,
+            scheduler=SimpleNamespace(type="exponential", gamma=0.5, decay_epochs=2),
+        ),
+    )
+    fn = make_lr_schedule(cfg)
+    assert abs(float(fn(0)) - 1.0) < 1e-6
+    assert abs(float(fn(20)) - 0.5) < 1e-6  # epoch 2 -> gamma^(2/2)
+    assert abs(float(fn(40)) - 0.25) < 1e-6
+
+    cfg.train.scheduler = SimpleNamespace(
+        type="multi_step", milestones=[1, 3], gamma=0.1
+    )
+    fn = make_lr_schedule(cfg)
+    assert abs(float(fn(5)) - 1.0) < 1e-6  # epoch 0
+    assert abs(float(fn(15)) - 0.1) < 1e-6  # epoch 1
+    assert abs(float(fn(35)) - 0.01) < 1e-6  # epoch 3
+
+
+def test_grad_clip_in_chain():
+    from types import SimpleNamespace
+
+    from gdb_nerf_tpu.train.optim import make_optimizer
+
+    cfg = SimpleNamespace(
+        ep_iter=1,
+        train=SimpleNamespace(
+            lr=1.0,
+            optim="adam",
+            weight_decay=0.0,
+            eps=1e-8,
+            scheduler=SimpleNamespace(type="exponential", gamma=0.5, decay_epochs=1),
+        ),
+    )
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    huge = {"w": jnp.array([1e6, -1e6, 0.0])}
+    updates, _ = tx.update(huge, state, params)
+    # after value-clip to 40 the adam update must stay bounded
+    assert np.all(np.abs(np.asarray(updates["w"])) < 2.0)
