@@ -150,6 +150,7 @@ DEFAULT_CFG: dict = {
     },
     # synthetic-data escape hatch: run the pipeline without datasets on disk
     "synthetic": False,
+    "synthetic_hw": [512, 640],
     # capture a jax.profiler device trace during run.py --type network
     "profile": False,
 }

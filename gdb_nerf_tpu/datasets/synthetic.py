@@ -24,7 +24,6 @@ def _texture(x, y):
 
 
 class Dataset:
-    H, W = 512, 640
     NEAR, FAR = 425.0, 905.0
     PLANE_Z = 600.0
 
@@ -32,11 +31,15 @@ class Dataset:
         self.cfg = cfg
         self.split = kwargs.get("split", "test")
         self.num_items = int(kwargs.get("num_items", 8))
+        # Spatial size is overridable (synthetic_hw config) for fast runs.
+        self.H, self.W = tuple(getattr(cfg, "synthetic_hw", (512, 640)))
+        # DTU-like intrinsics, scaled with the configured frame size so the
+        # field of view (and multi-view parallax) stays constant.
+        s = self.W / 640.0
         K = np.array(
-            [[2892.33, 0, 823.20], [0, 2883.18, 619.07], [0, 0, 1]],
+            [[2892.33 * s, 0, 0], [0, 2883.18 * s, 0], [0, 0, 1]],
             dtype=np.float32,
         )
-        # Re-center the principal point for our synthetic 640x512 frame.
         K[0, 2], K[1, 2] = self.W / 2, self.H / 2
         self.K = K
         self.rng = np.random.default_rng(1234)

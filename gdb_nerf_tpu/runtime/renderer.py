@@ -36,6 +36,20 @@ def to_device(batch: dict) -> dict:
     return dev
 
 
+def force_sync(tree) -> None:
+    """Truly wait for device results by reading one element of each leaf.
+
+    On the tunneled TPU platform used here, ``jax.block_until_ready`` can
+    return before execution finishes (dispatch-only), which silently turns
+    latency measurements into dispatch measurements.  A host read of any
+    element cannot complete until the producing computation has run, so
+    this is the honest synchronization primitive for timing.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+
 class Renderer:
     """Holds (network, variables) and runs jit-compiled eval forwards."""
 
@@ -53,9 +67,9 @@ class Renderer:
         return ret, mvs_depths
 
     def render_blocking(self, batch: dict):
-        """Like render(), but blocks until device work completes (timing)."""
+        """Like render(), but genuinely blocks until device work completes."""
         ret, mvs_depths = self.render(batch)
-        jax.block_until_ready(ret)
+        force_sync(ret)
         return ret, mvs_depths
 
 

@@ -20,16 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=5, name=""):
-    import jax
+    from gdb_nerf_tpu.runtime.renderer import force_sync
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        force_sync(out)  # block_until_ready lies on this platform
     dt = (time.time() - t0) / iters * 1000
-    print(f"{name:<28} {dt:8.2f} ms")
+    print(f"{name:<28} {dt:8.2f} ms", flush=True)
     return out, dt
 
 
@@ -156,7 +156,6 @@ def main():
     # --- NeRF head + composite ---
     head = BundleNeRF(64, 8)
     bsq = b * b
-    rgbs_flat = enc.rgbs.reshape(Hb, Wb, S, bsq * 3) if enc.rgbs.ndim == 6 else None
     payload = jnp.concatenate(
         [enc.rgbs.reshape(V, Hb, Wb, S, bsq * 3), enc.mip_feat], axis=-1
     )
