@@ -28,7 +28,10 @@ def main() -> None:
     from gdb_nerf_tpu.runtime import Renderer, make_network
     from gdb_nerf_tpu.runtime.renderer import init_network
 
-    cfg = load_cfg("configs/dtu_eval.yaml", ["synthetic", "True"])
+    # Production inference dtype: bf16 feature path (geometry stays fp32).
+    cfg = load_cfg(
+        "configs/dtu_eval.yaml", ["synthetic", "True", "compute_dtype", "bfloat16"]
+    )
     network = make_network(cfg)
 
     loader = make_data_loader(cfg, is_train=False)

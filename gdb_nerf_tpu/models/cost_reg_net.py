@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from gdb_nerf_tpu.models.layers import ConvBlock, DeconvBlock
@@ -23,17 +24,22 @@ class CostRegNet(nn.Module):
     out_channels: int
     base_channels: int
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
         """Args: x (B, D, H, W, C). Returns (feat (B,D,H,W,out), prob (B,D,H,W))."""
         bc = self.base_channels
-        kw = dict(kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name)
+        kw = dict(
+            kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name,
+            dtype=self.dtype,
+        )
         skw = dict(
             kernel_size=(3, 3, 3),
             strides=(2, 2, 2),
             padding=(1, 1, 1),
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )
         # Blocks are created in execution order so converted torch
         # checkpoints map onto ConvBlock_{i} sequentially.
@@ -45,13 +51,19 @@ class CostRegNet(nn.Module):
         d5 = ConvBlock(bc * 8, **skw)(c4, train)
         bott = ConvBlock(bc * 8, **kw)(d5, train)
 
-        up = c4 + DeconvBlock(bc * 4, axis_name=self.axis_name)(bott, train)
-        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(up, train)
-        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up, train)
+        dkw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        up = c4 + DeconvBlock(bc * 4, **dkw)(bott, train)
+        up = c2 + DeconvBlock(bc * 2, **dkw)(up, train)
+        up = c0 + DeconvBlock(bc, **dkw)(up, train)
 
-        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[..., 0]
-        prob = nn.softmax(logits, axis=1)  # over depth (D) axis
+        feat = nn.Conv(
+            self.out_channels, (3, 3, 3), padding=1, use_bias=False,
+            dtype=self.dtype,
+        )(up)
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype)(
+            up
+        )[..., 0]
+        prob = nn.softmax(logits.astype(jnp.float32), axis=1)  # over depth axis
         return feat, prob
 
 
@@ -61,16 +73,21 @@ class CostRegNetSmall(nn.Module):
     out_channels: int
     base_channels: int
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
         bc = self.base_channels
-        kw = dict(kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name)
+        kw = dict(
+            kernel_size=(3, 3, 3), padding=(1, 1, 1), axis_name=self.axis_name,
+            dtype=self.dtype,
+        )
         skw = dict(
             kernel_size=(3, 3, 3),
             strides=(2, 2, 2),
             padding=(1, 1, 1),
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )
         c0 = ConvBlock(bc, **kw)(x, train)
         d1 = ConvBlock(bc * 2, **skw)(c0, train)
@@ -78,10 +95,16 @@ class CostRegNetSmall(nn.Module):
         d3 = ConvBlock(bc * 4, **skw)(c2, train)
         bott = ConvBlock(bc * 4, **kw)(d3, train)
 
-        up = c2 + DeconvBlock(bc * 2, axis_name=self.axis_name)(bott, train)
-        up = c0 + DeconvBlock(bc, axis_name=self.axis_name)(up, train)
+        dkw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        up = c2 + DeconvBlock(bc * 2, **dkw)(bott, train)
+        up = c0 + DeconvBlock(bc, **dkw)(up, train)
 
-        feat = nn.Conv(self.out_channels, (3, 3, 3), padding=1, use_bias=False)(up)
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False)(up)[..., 0]
-        prob = nn.softmax(logits, axis=1)
+        feat = nn.Conv(
+            self.out_channels, (3, 3, 3), padding=1, use_bias=False,
+            dtype=self.dtype,
+        )(up)
+        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype)(
+            up
+        )[..., 0]
+        prob = nn.softmax(logits.astype(jnp.float32), axis=1)
         return feat, prob

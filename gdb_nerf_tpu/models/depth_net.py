@@ -92,8 +92,8 @@ def _stage_sample_features(
         return jnp.concatenate([feats, direction, dot], axis=-1)
 
     per_view_feats = jax.vmap(per_view)(img_feat_rgb, src_exts, src_ints_stage)
-    # (V, num_rays, S, F+4) -> (num_rays, S, V, F+4)
-    return vox_feat, jnp.moveaxis(per_view_feats, 0, -2)
+    # (V, num_rays, S, F+4); the stage NeRF takes the view axis after batch.
+    return vox_feat, per_view_feats
 
 
 class DepthNet(nn.Module):
@@ -111,6 +111,7 @@ class DepthNet(nn.Module):
     nerf_hidden_dims: int = 64
     viewdir_agg: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -173,13 +174,24 @@ class DepthNet(nn.Module):
                 lambda f, se, si, te, ti, dv: cost_volume.build_cost_volume(
                     f, se, si, te, ti, dv, inv
                 )
-            )(feats, src_exts, src_ints_stage, tar_exts, tar_ints_stage, depth_values)
+            )(
+                feats.astype(self.dtype),
+                src_exts,
+                src_ints_stage,
+                tar_exts,
+                tar_ints_stage,
+                depth_values,
+            )
             # (B, D, Hi, Wi, C)
 
             reg = (
-                CostRegNetSmall(self.voxel_dim, self.base_channels, self.axis_name)
+                CostRegNetSmall(
+                    self.voxel_dim, self.base_channels, self.axis_name, self.dtype
+                )
                 if idx == 0
-                else CostRegNet(self.voxel_dim, self.base_channels, self.axis_name)
+                else CostRegNet(
+                    self.voxel_dim, self.base_channels, self.axis_name, self.dtype
+                )
             )
             feat_volume, depth_prob = reg(volume, train)
 
@@ -187,7 +199,7 @@ class DepthNet(nn.Module):
                 lambda dv, p: cost_volume.depth_regression(
                     dv, p, self.ci_scales[idx], inv
                 )
-            )(depth_values, depth_prob)
+            )(depth_values, depth_prob.astype(jnp.float32))
 
             # Metric hypothesis range, ordered [near, far].
             first = depth_values[:, 0]
@@ -298,7 +310,10 @@ class DepthNet(nn.Module):
         )  # (B, N, S, C), (B, N, S, V, F+4)
 
         sigma, rgb = StageNeRF(
-            self.nerf_hidden_dims, self.viewdir_agg, name=f"stage_nerf_{idx}"
+            self.nerf_hidden_dims,
+            self.viewdir_agg,
+            dtype=self.dtype,
+            name=f"stage_nerf_{idx}",
         )(vox_feat, img_dir)
 
         # Vanilla (unnormalized) compositing — depth_net.py:109-114.

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from gdb_nerf_tpu.models.layers import ConvBlock
@@ -24,13 +25,15 @@ class FeatureNet(nn.Module):
     base_channels: int = 8
     out_channels: Sequence[int] = (32, 16, 8)
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
         """Args: x (N, H, W, 3) images. Returns [coarse(1/4), mid(1/2), fine(1)]
         each (N, h, w, c)."""
         bc = self.base_channels
-        kw = dict(axis_name=self.axis_name)
+        x = x.astype(self.dtype)
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype)
 
         c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(x, train)
         c0 = ConvBlock(bc, (3, 3), padding=(1, 1), **kw)(c0, train)
@@ -41,13 +44,19 @@ class FeatureNet(nn.Module):
         c2 = ConvBlock(bc * 4, (5, 5), strides=(2, 2), padding=(2, 2), **kw)(c1, train)
         c2 = ConvBlock(bc * 4, (3, 3), padding=(1, 1), **kw)(c2, train)
 
-        out0 = nn.Conv(self.out_channels[0], (1, 1))(c2)
+        out0 = nn.Conv(self.out_channels[0], (1, 1), dtype=self.dtype)(c2)
 
         up = jax.vmap(upsample_nearest_2x)
-        intra = up(c2) + nn.Conv(bc * 4, (1, 1))(c1)
-        out1 = nn.Conv(self.out_channels[1], (3, 3), padding=1, use_bias=False)(intra)
+        intra = up(c2) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype)(c1)
+        out1 = nn.Conv(
+            self.out_channels[1], (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype,
+        )(intra)
 
-        intra = up(intra) + nn.Conv(bc * 4, (1, 1))(c0)
-        out2 = nn.Conv(self.out_channels[2], (3, 3), padding=1, use_bias=False)(intra)
+        intra = up(intra) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype)(c0)
+        out2 = nn.Conv(
+            self.out_channels[2], (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype,
+        )(intra)
 
         return [out0, out1, out2]

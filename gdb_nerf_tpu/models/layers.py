@@ -30,6 +30,7 @@ class ConvBlock(nn.Module):
     padding: Sequence[int] | None = None
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -42,12 +43,14 @@ class ConvBlock(nn.Module):
             strides=tuple(strides),
             padding=[(p, p) for p in pad],
             use_bias=False,
-        )(x)
+            dtype=self.dtype,
+        )(x.astype(self.dtype))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -65,9 +68,11 @@ class DeconvBlock(nn.Module):
     ndim: int = 3
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = x.astype(self.dtype)
         k, s, p, op = 3, 2, 1, 1
         in_features = x.shape[-1]
         kernel = self.param(
@@ -93,6 +98,7 @@ class DeconvBlock(nn.Module):
             momentum=self.bn_momentum,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
         )(y)
         return nn.relu(y)
 

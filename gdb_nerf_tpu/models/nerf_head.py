@@ -12,9 +12,17 @@ Two variants, matching the two MLPs of the reference:
     (/root/reference/networks/gdb_nerf/depth_net.py:201-298): same
     aggregation trunk but the color branch blends only per-view RGB.
 
-Both operate on arbitrary leading sample dims with an explicit trailing
-view axis ``(..., V, F)``; all layers are Dense, so XLA maps them onto the
-MXU in one batched matmul per layer.
+TPU-bandwidth-aware design (the dev chip is ~23 GB/s memory-bound):
+
+  * The view axis sits right after batch: inputs are ``(B, V, ..., F)`` —
+    exactly the layout the encoder produces — so no multi-hundred-MB
+    transposes are needed.
+  * Linear layers whose torch equivalent consumes a concat of a
+    *broadcast-over-views* part and a per-view part are split into two
+    smaller matmuls (``W @ [shared; per_view] == W_s @ shared + W_v @
+    per_view``): the shared half is computed once per sample instead of V
+    times and the (V, ..., big) concat is never materialized.  The torch
+    checkpoint converter splits the reference kernels row-wise to match.
 """
 
 from __future__ import annotations
@@ -24,44 +32,54 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _var_mean_unbiased(x: jax.Array, axis: int):
+V_AXIS = 1  # (B, V, ...) everywhere in these heads
+
+
+def _var_mean_unbiased(x: jax.Array, axis: int = V_AXIS):
     """torch.var_mean parity: unbiased (ddof=1) variance + mean."""
-    mean = jnp.mean(x, axis=axis, keepdims=True)
+    mean = jnp.mean(x, axis=axis)
     n = x.shape[axis]
-    var = jnp.sum(jnp.square(x - mean), axis=axis, keepdims=True) / max(n - 1, 1)
+    var = jnp.sum(jnp.square(x - jnp.expand_dims(mean, axis)), axis=axis) / max(
+        n - 1, 1
+    )
     return var, mean
 
 
 class ViewAggregator(nn.Module):
     """Shared view-direction-aware feature aggregation trunk.
 
-    Input (..., V, feat_dim+3+4) [feature, rgb, ray-diff(4)];
-    output (..., 16) pooled across views.
+    Input (B, V, ..., feat_dim+3+4) [feature, rgb, ray-diff(4)];
+    output (B, ..., 16) pooled across views.
     """
 
     viewdir_agg: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat_rgb_dir: jax.Array) -> jax.Array:
-        V = feat_rgb_dir.shape[-2]
         img_feat_rgb = feat_rgb_dir[..., :-4]
         if self.viewdir_agg:
             view_feat = nn.relu(
-                nn.Dense(img_feat_rgb.shape[-1], name="view_fc")(
+                nn.Dense(img_feat_rgb.shape[-1], dtype=self.dtype, name="view_fc")(
                     feat_rgb_dir[..., -4:]
                 )
             )
             img_feat_rgb = img_feat_rgb + view_feat
 
-        var, mean = _var_mean_unbiased(img_feat_rgb, axis=-2)
-        var = jnp.broadcast_to(var, img_feat_rgb.shape)
-        mean = jnp.broadcast_to(mean, img_feat_rgb.shape)
-        feat = jnp.concatenate([img_feat_rgb, var, mean], axis=-1)
-        global_feat = nn.relu(nn.Dense(32, name="global_fc")(feat))  # (..., V, 32)
-        w = nn.relu(nn.Dense(1, name="agg_w_fc")(global_feat))
-        w = nn.softmax(w, axis=-2)
-        pooled = jnp.sum(global_feat * w, axis=-2)  # (..., 32)
-        return nn.relu(nn.Dense(16, name="fc")(pooled))
+        var, mean = _var_mean_unbiased(img_feat_rgb)
+        # Split matmul of cat([per-view, var, mean]): the var/mean half is
+        # shared across views and computed once.
+        pv = nn.Dense(32, use_bias=False, dtype=self.dtype, name="global_fc_pv")(
+            img_feat_rgb
+        )
+        shared = nn.Dense(32, use_bias=False, dtype=self.dtype, name="global_fc_var")(
+            var
+        ) + nn.Dense(32, dtype=self.dtype, name="global_fc_mean")(mean)
+        global_feat = nn.relu(pv + jnp.expand_dims(shared, V_AXIS))  # (B, V, ..., 32)
+        w = nn.relu(nn.Dense(1, dtype=self.dtype, name="agg_w_fc")(global_feat))
+        w = nn.softmax(w, axis=V_AXIS)
+        pooled = jnp.sum(global_feat * w, axis=V_AXIS)  # (B, ..., 32)
+        return nn.relu(nn.Dense(16, dtype=self.dtype, name="fc")(pooled))
 
 
 class BundleNeRF(nn.Module):
@@ -70,6 +88,7 @@ class BundleNeRF(nn.Module):
     hid_dim: int = 64
     voxel_dim: int = 8
     viewdir_agg: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -80,33 +99,44 @@ class BundleNeRF(nn.Module):
     ):
         """Args:
           vox_feat: (..., voxel_dim) cost-volume features.
-          payload: (..., V, P) per-view blendable payload
+          payload: (V, ..., P) per-view blendable payload
             (member-ray RGBs ++ mip feature ++ rgb).
-          feat_rgb_dir: (..., V, feat_dim+3+4) aggregation input (the mip
+          feat_rgb_dir: (V, ..., feat_dim+3+4) aggregation input (the mip
             feature ++ rgb ++ ray-diff slice of the encoding).
 
         Returns:
-          sigma: (...,) density.
+          sigma: (...,) density (float32).
           feat: (..., P + voxel_dim) blended payload ++ learned feature.
         """
-        V = feat_rgb_dir.shape[-2]
-        img_feat = ViewAggregator(self.viewdir_agg, name="agg")(feat_rgb_dir)
-        vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
-        x = nn.relu(nn.Dense(self.hid_dim, name="lr0")(vox_img))
-        sigma = nn.softplus(nn.Dense(1, name="sigma")(x))[..., 0]
+        vox_feat = vox_feat.astype(self.dtype)
+        payload = payload.astype(self.dtype)
+        feat_rgb_dir = feat_rgb_dir.astype(self.dtype)
 
-        w_feat = jnp.concatenate([x, vox_img], axis=-1)  # (..., hid+vox+16)
-        w_feat = jnp.broadcast_to(
-            w_feat[..., None, :], w_feat.shape[:-1] + (V, w_feat.shape[-1])
+        img_feat = ViewAggregator(self.viewdir_agg, self.dtype, name="agg")(
+            feat_rgb_dir
         )
-        w_feat = jnp.concatenate([w_feat, feat_rgb_dir], axis=-1)
-        w = nn.relu(nn.Dense(self.hid_dim, name="weight0")(w_feat))
-        w = nn.relu(nn.Dense(1, name="weight1")(w))
-        w = nn.softmax(w, axis=-2)  # over views
-        blended = jnp.sum(payload * w, axis=-2)  # (..., P)
+        vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
+        x = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype, name="lr0")(vox_img))
+        sigma = nn.softplus(
+            nn.Dense(1, dtype=jnp.float32, name="sigma")(x.astype(jnp.float32))
+        )[..., 0]
 
-        extra = nn.relu(nn.Dense(self.voxel_dim, name="feat_head")(x))
-        return sigma, jnp.concatenate([blended, extra], axis=-1)
+        # weight head input is cat([x, vox_img] (shared), frd (per-view)):
+        # split the first matmul so the shared half runs once per sample.
+        shared = nn.Dense(self.hid_dim, dtype=self.dtype, name="weight0_shared")(
+            jnp.concatenate([x, vox_img], axis=-1)
+        )
+        pv = nn.Dense(
+            self.hid_dim, use_bias=False, dtype=self.dtype, name="weight0_view"
+        )(feat_rgb_dir)
+        w = nn.relu(jnp.expand_dims(shared, V_AXIS) + pv)  # (B, V, ..., hid)
+        w = nn.relu(nn.Dense(1, dtype=self.dtype, name="weight1")(w))
+        w = nn.softmax(w.astype(jnp.float32), axis=V_AXIS).astype(self.dtype)
+        blended = jnp.sum(payload * w, axis=V_AXIS)  # (B, ..., P)
+
+        extra = nn.relu(nn.Dense(self.voxel_dim, dtype=self.dtype, name="feat_head")(x))
+        feat = jnp.concatenate([blended, extra], axis=-1)
+        return sigma.astype(jnp.float32), feat
 
 
 class StageNeRF(nn.Module):
@@ -114,29 +144,39 @@ class StageNeRF(nn.Module):
 
     hid_dim: int = 64
     viewdir_agg: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, vox_feat: jax.Array, img_feat_rgb_dir: jax.Array):
         """Args:
           vox_feat: (..., voxel_dim).
-          img_feat_rgb_dir: (..., V, feat_dim+3+4).
+          img_feat_rgb_dir: (V, ..., feat_dim+3+4).
 
         Returns:
-          sigma: (...,), rgb: (..., 3).
+          sigma: (...,), rgb: (..., 3) — both float32.
         """
-        V = img_feat_rgb_dir.shape[-2]
-        img_feat = ViewAggregator(self.viewdir_agg, name="agg")(img_feat_rgb_dir)
-        vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
-        x = nn.relu(nn.Dense(self.hid_dim, name="lr0")(vox_img))
-        sigma = nn.softplus(nn.Dense(1, name="sigma")(x))[..., 0]
+        vox_feat = vox_feat.astype(self.dtype)
+        img_feat_rgb_dir = img_feat_rgb_dir.astype(self.dtype)
 
-        w_feat = jnp.concatenate([x, vox_img], axis=-1)
-        w_feat = jnp.broadcast_to(
-            w_feat[..., None, :], w_feat.shape[:-1] + (V, w_feat.shape[-1])
+        img_feat = ViewAggregator(self.viewdir_agg, self.dtype, name="agg")(
+            img_feat_rgb_dir
         )
-        w_feat = jnp.concatenate([w_feat, img_feat_rgb_dir], axis=-1)
-        w = nn.relu(nn.Dense(self.hid_dim, name="color0")(w_feat))
-        w = nn.relu(nn.Dense(1, name="color1")(w))
-        w = nn.softmax(w, axis=-2)
-        rgb = jnp.sum(img_feat_rgb_dir[..., -7:-4] * w, axis=-2)
+        vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
+        x = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype, name="lr0")(vox_img))
+        sigma = nn.softplus(
+            nn.Dense(1, dtype=jnp.float32, name="sigma")(x.astype(jnp.float32))
+        )[..., 0]
+
+        shared = nn.Dense(self.hid_dim, dtype=self.dtype, name="color0_shared")(
+            jnp.concatenate([x, vox_img], axis=-1)
+        )
+        pv = nn.Dense(
+            self.hid_dim, use_bias=False, dtype=self.dtype, name="color0_view"
+        )(img_feat_rgb_dir)
+        w = nn.relu(jnp.expand_dims(shared, V_AXIS) + pv)
+        w = nn.relu(nn.Dense(1, dtype=self.dtype, name="color1")(w))
+        w = nn.softmax(w.astype(jnp.float32), axis=V_AXIS)
+        rgb = jnp.sum(
+            img_feat_rgb_dir[..., -7:-4].astype(jnp.float32) * w, axis=V_AXIS
+        )
         return sigma, rgb

@@ -53,6 +53,10 @@ class Network(nn.Module):
     dec_layers: int = 3
     reweighting: bool = False
     axis_name: Optional[str] = None
+    # Activation dtype for the feature path ('float32' or 'bfloat16').
+    # Geometry (rays, projections, depth regression, compositing weights)
+    # always stays float32.  On the bandwidth-bound dev TPU bf16 is ~2x.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, cfg: Any, axis_name: Optional[str] = None) -> "Network":
@@ -78,6 +82,7 @@ class Network(nn.Module):
             dec_layers=cfg.nerf.dec_layers,
             reweighting=cfg.nerf.reweighting,
             axis_name=axis_name,
+            compute_dtype=getattr(cfg, "compute_dtype", "float32"),
         )
 
     @property
@@ -113,6 +118,7 @@ class Network(nn.Module):
         b = self.bundle_size
         if b <= 0 or (b & (b - 1)) != 0:
             raise ValueError("bundle_size must be a power of 2")
+        cdtype = jnp.dtype(self.compute_dtype)
         src = batch["src_views"]
         tar = batch["tar_views"]
         src_images = src["rgb"]
@@ -127,6 +133,7 @@ class Network(nn.Module):
             self.fpn_base_channels,
             tuple(self.fpn_feat_dims),
             self.axis_name,
+            cdtype,
             name="feature_net",
         )(flat, train)
         ms_feats = [f.reshape(B, V, *f.shape[1:]) for f in ms_feats]
@@ -148,6 +155,7 @@ class Network(nn.Module):
             nerf_hidden_dims=self.nerf_hidden_dims,
             viewdir_agg=self.viewdir_agg,
             axis_name=self.axis_name,
+            dtype=cdtype,
             name="depth_net",
         )(src_images, ms_feats, src_exts, src_ints, tar_exts, tar_ints, near_far, train)
 
@@ -196,29 +204,34 @@ class Network(nn.Module):
         src_small = jax.vmap(jax.vmap(lambda im: resize_bilinear(im, (H, W))))(
             src_images
         )
-        img_feat = jnp.concatenate([img_feat, src_small], axis=-1)  # (B,V,H,W,F+3)
+        img_feat = jnp.concatenate(
+            [img_feat, src_small.astype(img_feat.dtype)], axis=-1
+        ).astype(cdtype)  # (B, V, H, W, F+3)
         pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
+        packed, pyr_offsets = mip.pack_pyramid(pyramid)
 
         enc = jax.vmap(
             bundles.encode_samples,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None),
-        )(rb, samples, src_images, img_feat, pyramid, feat_volume, src_exts,
-          src_ints, self.max_mipmap_level)
+            in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None),
+        )(rb, samples, src_images.astype(cdtype), img_feat, packed,
+          pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
+          self.max_mipmap_level)
 
-        # 5. Bundle NeRF over every sample.
+        # 5. Bundle NeRF over every sample.  The heads take the view axis
+        # right after batch — the encoder's native layout, no transposes.
         S = self.max_num_samples
         bsq = b * b
         rgbs_flat = enc.rgbs.reshape(B, V, H, W, S, bsq * 3)
         payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
-        payload = jnp.moveaxis(payload, 1, -2)  # (B, H, W, S, V, P)
-        feat_rgb_dir = jnp.moveaxis(
-            jnp.concatenate([enc.mip_feat, enc.ray_diff], axis=-1), 1, -2
-        )  # (B, H, W, S, V, F+3+4)
+        feat_rgb_dir = jnp.concatenate(
+            [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
+        )  # (B, V, H, W, S, F+3+4)
 
         sigma, feat = BundleNeRF(
             self.nerf_hidden_dims,
             self.mvs_voxel_dim,
             self.viewdir_agg,
+            dtype=cdtype,
             name="nerf",
         )(enc.vox_feat, payload, feat_rgb_dir)
 
@@ -230,7 +243,8 @@ class Network(nn.Module):
         nerf_depth = 1.0 / depth_map if inv else depth_map  # (B, H, W)
 
         # 7. Decode: coarse RDN path + fine pixel-shuffle path.
-        rgb_bundle = feat_map[..., : bsq * 3].reshape(B, H, W, b, b, 3)
+        rgb_bundle = feat_map[..., : bsq * 3].astype(jnp.float32)
+        rgb_bundle = rgb_bundle.reshape(B, H, W, b, b, 3)
         rgb_f = rgb_bundle.transpose(0, 1, 3, 2, 4, 5).reshape(
             B, H * b, W * b, 3
         )
@@ -239,6 +253,7 @@ class Network(nn.Module):
             num_feats=64,
             num_layers=self.dec_layers,
             upscale_factor=b,
+            dtype=cdtype,
             name="upsampler",
         )(feat_map[..., bsq * 3 :])
 

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from gdb_nerf_tpu.ops import camera
-from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d
+from gdb_nerf_tpu.ops.grid_sample import (
+    grid_sample_2d,
+    grid_sample_2d_packed,
+    pack_bilinear_2d,
+)
 
 
 def get_depth_values(near_far: jax.Array, num_depth: int, inv_depth: bool) -> jax.Array:
@@ -43,14 +47,15 @@ def get_depth_values(near_far: jax.Array, num_depth: int, inv_depth: bool) -> ja
 
 
 def warp_src_to_volume(
-    src_feat: jax.Array,
+    src_feat_packed: jax.Array,
     proj: jax.Array,
     depth_values: jax.Array,
 ) -> jax.Array:
-    """Warp one source feature map onto target depth planes.
+    """Warp one (2x2-packed) source feature map onto target depth planes.
 
     Args:
-      src_feat: (Hs, Ws, C) source feature map.
+      src_feat_packed: (Hs, Ws, 4C) source features from pack_bilinear_2d —
+        packed so each warp sample costs one gather row instead of four.
       proj: (3, 4) plane-sweep projection (camera.plane_sweep_projection).
       depth_values: (D, Ht, Wt) *metric* depth per plane (already inverted if
         the hypotheses were disparities).
@@ -59,7 +64,7 @@ def warp_src_to_volume(
       (D, Ht, Wt, C) warped features, zero where the projection falls outside
       the source image.
     """
-    Hs, Ws, _ = src_feat.shape
+    Hs, Ws = src_feat_packed.shape[:2]
     D, Ht, Wt = depth_values.shape
     x, y = camera.pixel_centers(Ht, Wt, depth_values.dtype)
     pix = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (Ht, Wt, 3)
@@ -69,7 +74,7 @@ def warp_src_to_volume(
     gx = 2.0 * (xyz[..., 0] / z) / Ws - 1.0
     gy = 2.0 * (xyz[..., 1] / z) / Hs - 1.0
     grid = jnp.stack([gx, gy], axis=-1)  # (D, Ht, Wt, 2)
-    return grid_sample_2d(src_feat, grid, padding_mode="zeros")
+    return grid_sample_2d_packed(src_feat_packed, grid, padding_mode="zeros")
 
 
 def build_cost_volume(
@@ -99,11 +104,15 @@ def build_cost_volume(
     projs = jax.vmap(
         lambda e, k: camera.plane_sweep_projection(e, k, tar_ext, tar_int)
     )(src_exts, src_ints)  # (V, 3, 4)
+    packed = pack_bilinear_2d(src_feats)  # (V, Hs, Ws, 4C)
     warped = jax.vmap(lambda f, p: warp_src_to_volume(f, p, metric_depth))(
-        src_feats, projs
+        packed, projs
     )  # (V, D, Ht, Wt, C)
-    mean = jnp.mean(warped, axis=0)
-    return jnp.mean(jnp.square(warped), axis=0) - jnp.square(mean)
+    # Accumulate moments in float32 even for bf16 feature inputs — the
+    # variance drives the depth softmax, where bf16 cancellation costs dB.
+    mean = jnp.mean(warped, axis=0, dtype=jnp.float32)
+    sq = jnp.mean(jnp.square(warped.astype(jnp.float32)), axis=0)
+    return (sq - jnp.square(mean)).astype(src_feats.dtype)
 
 
 def depth_regression(

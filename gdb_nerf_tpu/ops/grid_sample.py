@@ -89,11 +89,166 @@ def grid_sample_2d(
     elif padding_mode != "border":
         raise ValueError(f"Unsupported padding_mode: {padding_mode}")
 
-    wx = wx[..., None]
-    wy = wy[..., None]
+    # Interpolate in the source dtype so bf16 feature fetches stay bf16
+    # (the sub-texel weight quantization is ~0.4%, well below feature noise).
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def pack_bilinear_2d(img: jax.Array) -> jax.Array:
+    """Pre-pack 2x2 neighborhoods into channels: out[y, x] =
+    [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]] with edge replication.
+
+    Turns a bilinear sample from 4 gather rows into 1 gather row of 4C
+    channels — on gather-row-throughput-bound TPUs this is ~4x fewer gather
+    rows for 4x source memory (sources here are small).  Edge replication
+    matches 'border' clamping; 'zeros' mode still works because the
+    out-of-range taps are masked to zero by the sampler.
+    """
+    right = jnp.concatenate([img[..., :, 1:, :], img[..., :, -1:, :]], axis=-2)
+    down = jnp.concatenate([img[..., 1:, :, :], img[..., -1:, :, :]], axis=-3)
+    down_right = jnp.concatenate(
+        [down[..., :, 1:, :], down[..., :, -1:, :]], axis=-2
+    )
+    return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def grid_sample_2d_packed(
+    packed: jax.Array,
+    grid: jax.Array,
+    padding_mode: str = "border",
+) -> jax.Array:
+    """Bilinear sample from a pack_bilinear_2d image: one gather per point.
+
+    Exact semantics for both padding modes:
+      * border: the continuous coordinate is clipped to [0, size-1] first —
+        identical to clamping both taps (the edge-replicated pack covers the
+        last row/column).
+      * zeros: taps are taken at ``b = clip(floor(x), 0, size-2)`` and b+1
+        with *tent* weights ``max(0, 1 - |x - tap|)`` — any true tap outside
+        the image has zero tent weight, reproducing zero padding exactly.
+
+    Args:
+      packed: (H, W, 4C) from pack_bilinear_2d.
+      grid: (..., 2) normalized [-1, 1] coordinates (same conventions as
+        grid_sample_2d).
+    Returns: (..., C).
+    """
+    H, W, C4 = packed.shape
+    C = C4 // 4
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+    elif padding_mode == "zeros":
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    else:
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+
+    bxf = bx.astype(x.dtype)
+    byf = by.astype(y.dtype)
+    # Tent weights relative to the actual tap positions (b, b+1): for border
+    # mode (coords pre-clipped) these reduce to the usual (1-w, w).
+    wx1 = jnp.clip(1.0 - jnp.abs(x - (bxf + 1.0)), 0.0, 1.0)[..., None]
+    wx0 = jnp.clip(1.0 - jnp.abs(x - bxf), 0.0, 1.0)[..., None]
+    wy1 = jnp.clip(1.0 - jnp.abs(y - (byf + 1.0)), 0.0, 1.0)[..., None]
+    wy0 = jnp.clip(1.0 - jnp.abs(y - byf), 0.0, 1.0)[..., None]
+    wx0 = wx0.astype(packed.dtype)
+    wx1 = wx1.astype(packed.dtype)
+    wy0 = wy0.astype(packed.dtype)
+    wy1 = wy1.astype(packed.dtype)
+
+    rows = jnp.take(packed.reshape(H * W, C4), by * W + bx, axis=0)
+    v00 = rows[..., 0 * C : 1 * C]
+    v01 = rows[..., 1 * C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C : 4 * C]
+
+    top = v00 * wx0 + v01 * wx1
+    bot = v10 * wx0 + v11 * wx1
+    return top * wy0 + bot * wy1
+
+
+def pack_trilinear_3d(vol: jax.Array) -> jax.Array:
+    """2x2x2 neighborhood pack for volumes: (D, H, W, C) -> (D, H, W, 8C),
+    ordering [z0y0x0, z0y0x1, z0y1x0, z0y1x1, z1y0x0, ...]."""
+    def shift_x(v):
+        return jnp.concatenate([v[..., :, :, 1:, :], v[..., :, :, -1:, :]], axis=-2)
+
+    def shift_y(v):
+        return jnp.concatenate([v[..., :, 1:, :, :], v[..., :, -1:, :, :]], axis=-3)
+
+    def shift_z(v):
+        return jnp.concatenate([v[..., 1:, :, :, :], v[..., -1:, :, :, :]], axis=-4)
+
+    z0 = [vol, shift_x(vol), shift_y(vol), shift_x(shift_y(vol))]
+    vz = shift_z(vol)
+    z1 = [vz, shift_x(vz), shift_y(vz), shift_x(shift_y(vz))]
+    return jnp.concatenate(z0 + z1, axis=-1)
+
+
+def grid_sample_3d_packed(
+    packed: jax.Array,
+    grid: jax.Array,
+    padding_mode: str = "border",
+) -> jax.Array:
+    """Trilinear sample from a pack_trilinear_3d volume: 1 gather per point.
+
+    Same exact-semantics strategy as grid_sample_2d_packed (clip coords for
+    border, tent weights for zeros).
+
+    Args: packed (D, H, W, 8C); grid (..., 3) xyz normalized. Returns (..., C).
+    """
+    D, H, W, C8 = packed.shape
+    C = C8 // 8
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+    z = _unnormalize(grid[..., 2], D)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        z = jnp.clip(z, 0.0, D - 1.0)
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+        bz = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, D - 1)
+    elif padding_mode == "zeros":
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+        bz = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, D - 2)
+    else:
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+
+    def tents(c, b):
+        bf = b.astype(c.dtype)
+        w0 = jnp.clip(1.0 - jnp.abs(c - bf), 0.0, 1.0)[..., None]
+        w1 = jnp.clip(1.0 - jnp.abs(c - (bf + 1.0)), 0.0, 1.0)[..., None]
+        return w0.astype(packed.dtype), w1.astype(packed.dtype)
+
+    wx0, wx1 = tents(x, bx)
+    wy0, wy1 = tents(y, by)
+    wz0, wz1 = tents(z, bz)
+
+    rows = jnp.take(
+        packed.reshape(D * H * W, C8), (bz * H + by) * W + bx, axis=0
+    )
+    v = [rows[..., i * C : (i + 1) * C] for i in range(8)]
+
+    c00 = v[0] * wx0 + v[1] * wx1
+    c01 = v[2] * wx0 + v[3] * wx1
+    c10 = v[4] * wx0 + v[5] * wx1
+    c11 = v[6] * wx0 + v[7] * wx1
+    c0 = c00 * wy0 + c01 * wy1
+    c1 = c10 * wy0 + c11 * wy1
+    return c0 * wz0 + c1 * wz1
 
 
 def _gather_3d(vol: jax.Array, iz: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
@@ -129,9 +284,9 @@ def grid_sample_3d(
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     z0 = jnp.floor(z)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
-    wz = (z - z0)[..., None]
+    wx = (x - x0)[..., None].astype(vol.dtype)
+    wy = (y - y0)[..., None].astype(vol.dtype)
+    wz = (z - z0)[..., None].astype(vol.dtype)
 
     x0i, y0i, z0i = (v.astype(jnp.int32) for v in (x0, y0, z0))
     x1i, y1i, z1i = x0i + 1, y0i + 1, z0i + 1

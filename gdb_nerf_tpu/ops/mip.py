@@ -71,6 +71,83 @@ def _bilinear_clamp(tex: jax.Array, uv: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+def pack_pyramid(levels: list[jax.Array]):
+    """Patch-pack each level (2x2 neighborhoods -> 4C channels) and flatten
+    the pyramid into one (..., total_texels, 4C) buffer.
+
+    Returns (packed, offsets) where ``offsets[l]`` is the flat index of
+    level l's first texel — the fetch below then costs ONE gather row per
+    (sample, level): 2 rows per sample for floor+ceil trilinear filtering,
+    vs 16 taps for the naive 4-level tent fetch.
+    """
+    import numpy as np
+
+    from gdb_nerf_tpu.ops.grid_sample import pack_bilinear_2d
+
+    plevels = [pack_bilinear_2d(l) for l in levels]
+    flat = [l.reshape(*l.shape[:-3], -1, l.shape[-1]) for l in plevels]
+    packed = jnp.concatenate(flat, axis=-2)
+    sizes = [l.shape[-3] * l.shape[-2] for l in levels]
+    offsets = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+    return packed, offsets
+
+
+def mip_texture_fetch_packed(
+    packed: jax.Array,
+    offsets: jax.Array,
+    base_hw: tuple[int, int],
+    uv: jax.Array,
+    lod: jax.Array,
+    max_level: int,
+) -> jax.Array:
+    """Trilinear fetch from a packed pyramid: floor + ceil level only.
+
+    Equivalent to ``mip_texture_fetch`` (same clamp/tent semantics) but
+    issues 8 gather taps per sample instead of 4*(levels) — the bandwidth
+    matters on gather-bound TPUs.
+
+    Args:
+      packed: (T, 4C) patch-packed pyramid (single image; vmap for batches).
+      offsets: (max_level+1,) flat offset of each level.
+      base_hw: (H0, W0) of level 0.
+      uv: (..., 2) in [0, 1]; lod: (...,) fractional level.
+    """
+    H0, W0 = base_hw
+    lod = jnp.clip(lod, 0.0, float(max_level))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(lod.dtype))[..., None]
+    l1 = jnp.minimum(l0 + 1, max_level)
+
+    T, C4 = packed.shape
+    C = C4 // 4
+    flat = packed
+
+    def taps(level):
+        Hl = H0 >> level
+        Wl = W0 >> level
+        off = jnp.take(offsets, level)
+        # Clamp boundary == border mode: clip the continuous coordinate.
+        x = jnp.clip(uv[..., 0] * Wl.astype(uv.dtype) - 0.5, 0.0, Wl - 1.0)
+        y = jnp.clip(uv[..., 1] * Hl.astype(uv.dtype) - 0.5, 0.0, Hl - 1.0)
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, Wl - 1)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, Hl - 1)
+        wx = (x - bx.astype(x.dtype))[..., None].astype(packed.dtype)
+        wy = (y - by.astype(y.dtype))[..., None].astype(packed.dtype)
+        rows = jnp.take(flat, off + by * Wl + bx, axis=0)
+        v00 = rows[..., 0 * C : 1 * C]
+        v01 = rows[..., 1 * C : 2 * C]
+        v10 = rows[..., 2 * C : 3 * C]
+        v11 = rows[..., 3 * C : 4 * C]
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    a = taps(l0)
+    b = taps(l1)
+    frac = frac.astype(a.dtype)
+    return a * (1 - frac) + b * frac
+
+
 def mip_texture_fetch(
     levels: list[jax.Array],
     uv: jax.Array,

@@ -65,3 +65,31 @@ def test_grid_sample_2d_batched_vmap(rng):
     assert out.shape == (B, N, C)
     single = grid_sample_2d(jnp.array(imgs[1]), jnp.array(grids[1]))
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single), rtol=1e-6)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_packed_2d_matches_unpacked(rng, padding):
+    from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d_packed, pack_bilinear_2d
+
+    H, W, C = 11, 14, 5
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    grid = jnp.array((rng.standard_normal((300, 2)) * 1.2).astype(np.float32))
+    ref = grid_sample_2d(img, grid, padding)
+    packed = pack_bilinear_2d(img)
+    assert packed.shape == (H, W, 4 * C)
+    ours = grid_sample_2d_packed(packed, grid, padding)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_packed_3d_matches_unpacked(rng, padding):
+    from gdb_nerf_tpu.ops.grid_sample import grid_sample_3d_packed, pack_trilinear_3d
+
+    D, H, W, C = 6, 9, 7, 4
+    vol = jnp.array(rng.standard_normal((D, H, W, C)).astype(np.float32))
+    grid = jnp.array((rng.standard_normal((250, 3)) * 1.2).astype(np.float32))
+    ref = grid_sample_3d(vol, grid, padding)
+    packed = pack_trilinear_3d(vol)
+    assert packed.shape == (D, H, W, 8 * C)
+    ours = grid_sample_3d_packed(packed, grid, padding)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)

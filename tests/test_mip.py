@@ -83,3 +83,30 @@ def test_clamp_boundary(rng):
     levels = mip.build_pyramid(img, 1)
     out = mip.mip_texture_fetch(levels, jnp.array([[-1.0, -1.0]]), jnp.array([0.0]), 1)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(img[0, 0]), rtol=1e-5)
+
+
+def test_packed_fetch_matches_reference_fetch(rng):
+    """The 2-level packed fetch must equal the all-level tent fetch."""
+    img = jnp.array(rng.standard_normal((32, 16, 5)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    packed, offsets = mip.pack_pyramid(levels)
+    r2 = np.random.default_rng(7)
+    uv = jnp.array(r2.uniform(-0.2, 1.2, (400, 2)), jnp.float32)
+    lod = jnp.array(r2.uniform(-1.0, 4.5, (400,)), jnp.float32)
+    ref = mip.mip_texture_fetch(levels, uv, lod, 3)
+    ours = mip.mip_texture_fetch_packed(packed, offsets, (32, 16), uv, lod, 3)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_fetch_batched_vmap(rng):
+    import jax
+
+    imgs = jnp.array(rng.standard_normal((3, 8, 8, 2)).astype(np.float32))
+    levels = mip.build_pyramid(imgs, 2)
+    packed, offsets = mip.pack_pyramid(levels)
+    uv = jnp.array(rng.uniform(0, 1, (3, 20, 2)), jnp.float32)
+    lod = jnp.zeros((3, 20))
+    out = jax.vmap(
+        lambda p, u, l: mip.mip_texture_fetch_packed(p, offsets, (8, 8), u, l, 2)
+    )(packed, uv, lod)
+    assert out.shape == (3, 20, 2)

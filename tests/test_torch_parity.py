@@ -229,13 +229,21 @@ def test_bundle_nerf_parity(rng):
 
     sd = {f"nerf.{k}": v.numpy() for k, v in tmod.state_dict().items()}
     c = Converter(sd)
+    F = feat_dim + 3
     c.dense("nerf.view_fc.0", "nerf/agg/view_fc")
-    c.dense("nerf.global_fc.0", "nerf/agg/global_fc")
+    c.dense_split("nerf.global_fc.0", [
+        ("nerf/agg/global_fc_pv", F, False),
+        ("nerf/agg/global_fc_var", F, False),
+        ("nerf/agg/global_fc_mean", F, True),
+    ])
     c.dense("nerf.agg_w_fc.0", "nerf/agg/agg_w_fc")
     c.dense("nerf.fc.0", "nerf/agg/fc")
     c.dense("nerf.lr0.0", "nerf/lr0")
     c.dense("nerf.sigma.0", "nerf/sigma")
-    c.dense("nerf.weight.0", "nerf/weight0")
+    c.dense_split("nerf.weight.0", [
+        ("nerf/weight0_shared", 64 + voxel_dim + 16, True),
+        ("nerf/weight0_view", F + 4, False),
+    ])
     c.dense("nerf.weight.2", "nerf/weight1")
     c.dense("nerf.feat_head.0", "nerf/feat_head")
 
@@ -243,15 +251,18 @@ def test_bundle_nerf_parity(rng):
 
     net = BundleNeRF(hid_dim=64, voxel_dim=voxel_dim)
     variables = {"params": c.params["nerf"]}
-    # ours: payload (N, V, P + feat+3), frd (N, V, feat+3+4)
-    payload_ours = np.concatenate(
-        [payload_extra, frd[..., :-4]], axis=-1
-    ).transpose(1, 0, 2)
+    # ours: batch leading, view axis second: payload (1, V, N, P+F),
+    # frd (1, V, N, F+4), vox (1, N, vox).
+    payload_ours = np.concatenate([payload_extra, frd[..., :-4]], axis=-1)
     sigma, feat = net.apply(
         variables,
-        jnp.asarray(vox),
-        jnp.asarray(payload_ours),
-        jnp.asarray(frd.transpose(1, 0, 2)),
+        jnp.asarray(vox)[None],
+        jnp.asarray(payload_ours)[None],
+        jnp.asarray(frd)[None],
     )
-    np.testing.assert_allclose(np.asarray(sigma), sigma_t.numpy(), rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(feat), feat_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sigma)[0], sigma_t.numpy(), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat)[0], feat_t.numpy(), rtol=1e-3, atol=1e-4
+    )

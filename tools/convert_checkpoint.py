@@ -105,8 +105,31 @@ class Converter:
         if bias:
             _put(self.params, f"{jname}/bias", self.take(f"{tname}.bias"))
 
+    def dense_split(self, tname: str, splits: list[tuple[str, int, bool]]) -> None:
+        """Split a torch Linear over concatenated inputs into several
+        Dense kernels: splits = [(jname, in_dim, has_bias)].  The single
+        torch bias lands on the (unique) split marked has_bias."""
+        w = self.take(f"{tname}.weight")  # (out, in_total)
+        bias = self.take(f"{tname}.bias")
+        off = 0
+        for jname, dim, has_bias in splits:
+            _put(self.params, f"{jname}/kernel",
+                 np.ascontiguousarray(w[:, off : off + dim].transpose(1, 0)))
+            if has_bias:
+                _put(self.params, f"{jname}/bias", bias)
+            off += dim
+        assert off == w.shape[1], (tname, off, w.shape)
 
-def convert(sd: dict, num_stages: int = 2, dec_layers: int = 3) -> dict:
+
+def convert(
+    sd: dict,
+    num_stages: int = 2,
+    dec_layers: int = 3,
+    stage_feat_dims: tuple = (32,),
+    bundle_feat_dim: int = 16,
+    voxel_dim: int = 8,
+    hid_dim: int = 64,
+) -> dict:
     c = Converter(sd)
 
     # --- FeatureNet (feature_net.py:17-38) ---
@@ -141,31 +164,41 @@ def convert(sd: dict, num_stages: int = 2, dec_layers: int = 3) -> dict:
         c.conv(f"{t}.prob_head", f"{j}/Conv_1", three_d=True, bias=False)
 
     # --- DepthNet training stage NeRFs (depth_net.py:201-298) ---
-    for s in range(num_stages - 1):
-        t = f"depth_net.nerfs.{s}"
-        j = f"depth_net/stage_nerf_{s}"
+    # The aggregation/weight first layers are split (see models/nerf_head.py):
+    # W @ cat([shared, per-view]) == W_s @ shared + W_v @ per-view.
+    def nerf_head(t: str, j: str, feat_dim: int, voxel_dim: int, hid: int,
+                  weight_name: str, j0_shared: str, j0_view: str) -> None:
         if f"{t}.view_fc.0.weight" in c.sd:
             c.dense(f"{t}.view_fc.0", f"{j}/agg/view_fc")
-        c.dense(f"{t}.global_fc.0", f"{j}/agg/global_fc")
+        F = feat_dim + 3
+        c.dense_split(f"{t}.global_fc.0", [
+            (f"{j}/agg/global_fc_pv", F, False),
+            (f"{j}/agg/global_fc_var", F, False),
+            (f"{j}/agg/global_fc_mean", F, True),
+        ])
         c.dense(f"{t}.agg_w_fc.0", f"{j}/agg/agg_w_fc")
         c.dense(f"{t}.fc.0", f"{j}/agg/fc")
         c.dense(f"{t}.lr0.0", f"{j}/lr0")
         c.dense(f"{t}.sigma.0", f"{j}/sigma")
-        c.dense(f"{t}.color.0", f"{j}/color0")
+        c.dense_split(f"{t}.{weight_name}.0", [
+            (f"{j}/{j0_shared}", hid + voxel_dim + 16, True),
+            (f"{j}/{j0_view}", F + 4, False),
+        ])
+
+    for s in range(num_stages - 1):
+        t = f"depth_net.nerfs.{s}"
+        j = f"depth_net/stage_nerf_{s}"
+        nerf_head(t, j, feat_dim=stage_feat_dims[s], voxel_dim=voxel_dim,
+                  hid=hid_dim, weight_name="color",
+                  j0_shared="color0_shared", j0_view="color0_view")
         c.dense(f"{t}.color.2", f"{j}/color1")
 
     # --- Bundle NeRF (nerf.py:6-115) ---
-    t, j = "nerf", "nerf"
-    if f"{t}.view_fc.0.weight" in c.sd:
-        c.dense(f"{t}.view_fc.0", f"{j}/agg/view_fc")
-    c.dense(f"{t}.global_fc.0", f"{j}/agg/global_fc")
-    c.dense(f"{t}.agg_w_fc.0", f"{j}/agg/agg_w_fc")
-    c.dense(f"{t}.fc.0", f"{j}/agg/fc")
-    c.dense(f"{t}.lr0.0", f"{j}/lr0")
-    c.dense(f"{t}.sigma.0", f"{j}/sigma")
-    c.dense(f"{t}.weight.0", f"{j}/weight0")
-    c.dense(f"{t}.weight.2", f"{j}/weight1")
-    c.dense(f"{t}.feat_head.0", f"{j}/feat_head")
+    nerf_head("nerf", "nerf", feat_dim=bundle_feat_dim, voxel_dim=voxel_dim,
+              hid=hid_dim, weight_name="weight",
+              j0_shared="weight0_shared", j0_view="weight0_view")
+    c.dense("nerf.weight.2", "nerf/weight1")
+    c.dense("nerf.feat_head.0", "nerf/feat_head")
 
     # --- Decoder (decoder_rdn.py:44-81) ---
     t, j = "upsampler", "upsampler"

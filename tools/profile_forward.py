@@ -137,14 +137,13 @@ def main():
     # --- encoding ---
     src_imgs = jax.random.uniform(key, (V, H, W, 3))
     img_feat = jax.random.uniform(key, (V, Hb, Wb, 16 + 3))
-    pyr = mip.build_pyramid(img_feat, 3)
     f_enc = jax.jit(
         lambda si, ifeat, fv: bundles.encode_samples(
             rb,
             smp,
             si,
             ifeat,
-            mip.build_pyramid(ifeat, 3),
+            *mip.pack_pyramid(mip.build_pyramid(ifeat, 3)),
             fv,
             src_exts,
             jnp.stack([Kj] * V),
@@ -158,12 +157,10 @@ def main():
     bsq = b * b
     payload = jnp.concatenate(
         [enc.rgbs.reshape(V, Hb, Wb, S, bsq * 3), enc.mip_feat], axis=-1
-    )
-    payload = jnp.moveaxis(payload, 0, -2)
-    frd = jnp.moveaxis(
-        jnp.concatenate([enc.mip_feat, enc.ray_diff], axis=-1), 0, -2
-    )
-    hv = head.init(key, enc.vox_feat, payload, frd)
+    )[None]  # (1, V, Hb, Wb, S, P)
+    frd = jnp.concatenate([enc.mip_feat, enc.ray_diff], axis=-1)[None]
+    vox = enc.vox_feat[None]
+    hv = head.init(key, vox, payload, frd)
 
     def nerf_comp(v, vox, pl, fr, valid, z):
         sigma, feat = head.apply(v, vox, pl, fr)
@@ -172,15 +169,15 @@ def main():
 
     f_nerf = jax.jit(nerf_comp)
     (fmap, dmap, op), _ = timed(
-        f_nerf, hv, enc.vox_feat, payload, frd, smp.valid, smp.z_vals,
+        f_nerf, hv, vox, payload, frd, smp.valid[None], smp.z_vals[None],
         iters=args.iters, name="NeRF head + composite",
     )
 
     # --- decoder ---
     dec = Decoder(3, 64, 3, b)
-    dvr = dec.init(key, fmap[None, ..., bsq * 3 :])
+    dvr = dec.init(key, fmap[..., bsq * 3 :])
     f_dec = jax.jit(lambda v, x: dec.apply(v, x))
-    timed(f_dec, dvr, fmap[None, ..., bsq * 3 :], iters=args.iters, name="RDN decoder")
+    timed(f_dec, dvr, fmap[..., bsq * 3 :], iters=args.iters, name="RDN decoder")
 
 
 if __name__ == "__main__":
