@@ -153,6 +153,10 @@ DEFAULT_CFG: dict = {
     "synthetic_hw": [512, 640],
     # capture a jax.profiler device trace during run.py --type network
     "profile": False,
+    # activation dtype for the model's feature path; geometry stays fp32
+    "compute_dtype": "float32",
+    # run the bundle NeRF head as a fused Pallas kernel at eval time
+    "use_pallas": False,
 }
 
 

@@ -57,6 +57,9 @@ class Network(nn.Module):
     # Geometry (rays, projections, depth regression, compositing weights)
     # always stays float32.  On the bandwidth-bound dev TPU bf16 is ~2x.
     compute_dtype: str = "float32"
+    # Run the bundle NeRF head as a fused Pallas kernel (eval only — the
+    # kernel has no custom VJP yet; training always uses the flax head).
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any, axis_name: Optional[str] = None) -> "Network":
@@ -83,6 +86,7 @@ class Network(nn.Module):
             reweighting=cfg.nerf.reweighting,
             axis_name=axis_name,
             compute_dtype=getattr(cfg, "compute_dtype", "float32"),
+            use_pallas=getattr(cfg, "use_pallas", False),
         )
 
     @property
@@ -227,13 +231,32 @@ class Network(nn.Module):
             [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
         )  # (B, V, H, W, S, F+3+4)
 
-        sigma, feat = BundleNeRF(
+        head = BundleNeRF(
             self.nerf_hidden_dims,
             self.mvs_voxel_dim,
             self.viewdir_agg,
             dtype=cdtype,
             name="nerf",
-        )(enc.vox_feat, payload, feat_rgb_dir)
+        )
+        if self.use_pallas and not train and self.is_initializing() is False:
+            from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
+
+            head_params = self.scope.get_variable("params", "nerf")
+            if head_params is None:
+                sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+            else:
+                P = payload.shape[-1]
+                F4 = feat_rgb_dir.shape[-1]
+                vox_flat = enc.vox_feat.reshape(-1, enc.vox_feat.shape[-1])
+                pl_flat = jnp.moveaxis(payload, 1, 0).reshape(V, -1, P)
+                fr_flat = jnp.moveaxis(feat_rgb_dir, 1, 0).reshape(V, -1, F4)
+                sigma, feat = fused_bundle_nerf(
+                    head_params, vox_flat, pl_flat, fr_flat
+                )
+                sigma = sigma.reshape(B, H, W, S)
+                feat = feat.reshape(B, H, W, S, -1)
+        else:
+            sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
 
         # 6. Composite per bundle (disparity-space accumulation when inv).
         weights = render.weights_from_sigma(sigma, samples.valid)

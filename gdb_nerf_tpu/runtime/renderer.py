@@ -37,17 +37,21 @@ def to_device(batch: dict) -> dict:
 
 
 def force_sync(tree) -> None:
-    """Truly wait for device results by reading one element of each leaf.
+    """Truly wait for device results by reading one element to the host.
 
     On the tunneled TPU platform used here, ``jax.block_until_ready`` can
     return before execution finishes (dispatch-only), which silently turns
     latency measurements into dispatch measurements.  A host read of any
     element cannot complete until the producing computation has run, so
-    this is the honest synchronization primitive for timing.
+    this is the honest synchronization primitive for timing.  One leaf
+    suffices: the outputs of a single jitted executable complete together,
+    and each read costs a full tunnel round trip (~56 ms), so reading every
+    leaf would multiply the RTT into the measurement.
     """
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ndim"):
             np.asarray(leaf[(0,) * leaf.ndim])
+            return
 
 
 class Renderer:

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--cfg", default="configs/dtu_eval.yaml")
+    ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
     from gdb_nerf_tpu.runtime import cache
@@ -35,7 +36,11 @@ def main():
     from gdb_nerf_tpu.runtime import make_network
     from gdb_nerf_tpu.runtime.renderer import force_sync, init_network, to_device
 
-    cfg = load_cfg(args.cfg, ["synthetic", "True", "compute_dtype", args.dtype])
+    cfg = load_cfg(
+        args.cfg,
+        ["synthetic", "True", "compute_dtype", args.dtype,
+         "use_pallas", str(args.pallas)],
+    )
     network = make_network(cfg)
     loader = make_data_loader(cfg, is_train=False)
     batch = next(iter(loader))
@@ -60,7 +65,7 @@ def main():
         force_sync(g(args.n))
         best = min(best, (time.time() - t0) / args.n)
     print(
-        f"dtype={args.dtype}: {best*1000:.1f} ms/frame "
+        f"dtype={args.dtype} pallas={args.pallas}: {best*1000:.1f} ms/frame "
         f"({1.0/best:.2f} fps) at 512x640, chained n={args.n}"
     )
 
