@@ -37,7 +37,7 @@ class TrainState(NamedTuple):
 def to_device_train(batch: dict) -> dict:
     """Device-side slice of a training batch (inputs + supervision)."""
     sv, tv = batch["src_views"], batch["tar_views"]
-    return {
+    out = {
         "src_views": {
             "rgb": jnp.asarray(sv["rgb"], jnp.float32),
             "extrinsics": jnp.asarray(sv["extrinsics"], jnp.float32),
@@ -53,6 +53,15 @@ def to_device_train(batch: dict) -> dict:
             jnp.asarray(r, jnp.float32) for r in batch["tar_gt_ms"]["rgb"]
         ],
     }
+    # Ground-truth depth (DTU only): carried for monitoring-only stats.
+    if "depth" in batch["tar_gt_ms"]:
+        out["tar_gt_depth_ms"] = [
+            jnp.asarray(d, jnp.float32) for d in batch["tar_gt_ms"]["depth"]
+        ]
+        out["tar_gt_mask_ms"] = [
+            jnp.asarray(m, jnp.float32) for m in batch["tar_gt_ms"]["mask"]
+        ]
+    return out
 
 
 def make_loss_fn(network, loss_weight, use_perceptual: bool = True):
@@ -89,6 +98,17 @@ def make_loss_fn(network, loss_weight, use_perceptual: bool = True):
             "perceptual_loss": perc,
             "depth_loss": depth_loss,
         }
+        if "tar_gt_depth_ms" in batch:
+            # Monitoring only (the reference computes this under no_grad:
+            # train/losses/gdb_nerf.py:43-49) — depth is supervised
+            # photometrically, not by ground truth.
+            _, dstats = losses.smooth_l1_depth(
+                [jax.lax.stop_gradient(d) for d in mvs_depths],
+                batch["tar_gt_depth_ms"],
+                batch["tar_gt_mask_ms"],
+                [1.0] * len(mvs_depths),
+            )
+            stats.update(dstats)
         return loss, (updates["batch_stats"], stats)
 
     return loss_fn
