@@ -157,6 +157,11 @@ DEFAULT_CFG: dict = {
     "compute_dtype": "float32",
     # run the bundle NeRF head as a fused Pallas kernel at eval time
     "use_pallas": False,
+    # XLA matmul precision during TRAINING.  The TPU default (bf16 operand
+    # truncation) causes catastrophic loss spikes on this model — identical
+    # runs diverge on TPU but not CPU; 'highest' restores CPU-exact learning
+    # curves.  Inference perf is unaffected (eval uses compute_dtype).
+    "train_matmul_precision": "highest",
 }
 
 

@@ -20,6 +20,13 @@ from gdb_nerf_tpu.config import make_cfg, make_parser
 def train(cfg) -> None:
     import jax
 
+    # bf16-truncated matmuls destabilize training on TPU (verified: loss
+    # spikes at ~iter 60 that CPU runs never show); pin full precision.
+    jax.config.update(
+        "jax_default_matmul_precision",
+        getattr(cfg, "train_matmul_precision", "highest"),
+    )
+
     from gdb_nerf_tpu.datasets import make_data_loader
     from gdb_nerf_tpu.models.network import Network
     from gdb_nerf_tpu.runtime import make_evaluator
