@@ -9,7 +9,6 @@ count varies in {2,3,4}, so at most a handful of executables exist.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

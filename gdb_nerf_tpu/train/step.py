@@ -15,14 +15,13 @@ each intermediate MVS stage's rendered RGB, weighted by mvs.loss_weight.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gdb_nerf_tpu.train import losses
 
