@@ -141,10 +141,20 @@ def make_data_loader(
         sampler = S.SequentialSampler(len(dataset))
 
     name = getattr(section, "batch_sampler", "default")
-    cls = S.EnerfBatchSampler if name == "enerf" else S.DefaultBatchSampler
-    batch_sampler = cls(
-        sampler, section.batch_size, drop_last=False, sampler_meta=section.sampler_meta
-    )
+    if name == "enerf":
+        batch_sampler = S.EnerfBatchSampler(
+            sampler, section.batch_size, drop_last=False,
+            sampler_meta=section.sampler_meta,
+        )
+    elif name == "image_size":
+        batch_sampler = S.ImageSizeBatchSampler(
+            sampler, section.batch_size, drop_last=False
+        )
+    else:
+        batch_sampler = S.DefaultBatchSampler(
+            sampler, section.batch_size, drop_last=False,
+            sampler_meta=section.sampler_meta,
+        )
     if max_iter != -1:
         batch_sampler = S.IterationBasedBatchSampler(batch_sampler, max_iter)
 

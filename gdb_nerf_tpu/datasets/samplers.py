@@ -173,3 +173,45 @@ class IterationBasedBatchSampler:
 
     def __len__(self):
         return self.num_iterations
+
+
+class ImageSizeBatchSampler:
+    """Batches with a random (H, W) rounded to /32, smuggled like the enerf
+    sampler's tuples: yields (idx, (h, w), render_scale).
+
+    Present for parity with the reference's sampler inventory
+    (/root/reference/datasets/samplers.py:44-81); unused by the shipped
+    gdb_nerf configs there as well.
+    """
+
+    def __init__(self, sampler, batch_size: int, drop_last: bool,
+                 min_hw=(256, 256), max_hw=(480, 640), seed: int = 0):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.min_hw = min_hw
+        self.max_hw = max_hw
+        self.rng = np.random.default_rng(seed)
+
+    def _draw_hw(self):
+        h = self.rng.integers(self.min_hw[0], self.max_hw[0] + 1)
+        w = self.rng.integers(self.min_hw[1], self.max_hw[1] + 1)
+        return (int(h) // 32 * 32, int(w) // 32 * 32)
+
+    def __iter__(self):
+        batch = []
+        hw = self._draw_hw()
+        for idx in self.sampler:
+            batch.append((idx, hw, 1.0))
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+                hw = self._draw_hw()
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)

@@ -126,3 +126,14 @@ def test_synthetic_multiview_consistency():
         np.testing.assert_allclose(
             img0[100, 100], img1[y1, x1], atol=0.05
         )
+
+
+def test_image_size_batch_sampler():
+    bs = S.ImageSizeBatchSampler(S.SequentialSampler(9), 3, False)
+    batches = list(bs)
+    assert len(batches) == 3
+    for batch in batches:
+        hws = {hw for _, hw, _ in batch}
+        assert len(hws) == 1  # one size per batch
+        (h, w) = next(iter(hws))
+        assert h % 32 == 0 and w % 32 == 0
