@@ -36,7 +36,11 @@ class Dataset:
         self.scenes = [kwargs["scene"]] if "scene" in kwargs else []
         self.num_depth = cfg.nerf.global_num_depth
         self.interval_scale = 1.0 / (float(self.num_depth) / 192.0)
-        self.rng = np.random.default_rng()
+        # Deterministic augmentation under fix_random (reference seeds all
+        # RNGs in train_net.py:18-23); entropy-seeded otherwise.
+        self.rng = np.random.default_rng(
+            0 if getattr(cfg, "fix_random", False) else None
+        )
         self.build_metas(kwargs["ann_file"])
 
     def build_metas(self, ann_file: str) -> None:

@@ -31,7 +31,11 @@ class Dataset:
         self.data_root = os.path.join(cfg.workspace, kwargs["data_root"])
         self.split = kwargs["split"]
         self.scenes = [kwargs["scene"]] if "scene" in kwargs else []
-        self.rng = np.random.default_rng()
+        # Deterministic augmentation under fix_random (reference seeds all
+        # RNGs in train_net.py:18-23); entropy-seeded otherwise.
+        self.rng = np.random.default_rng(
+            0 if getattr(cfg, "fix_random", False) else None
+        )
         self.build_metas()
 
     def build_metas(self) -> None:

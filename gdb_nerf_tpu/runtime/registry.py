@@ -44,9 +44,16 @@ def make_evaluator(cfg: Any):
 
 
 def make_loss(cfg: Any, network):
+    """Resolve the loss function for ``network`` from the config.
+
+    The default (the reference's NetworkWrapper,
+    /root/reference/train/losses/gdb_nerf.py) is the photometric +
+    staged-depth loss built by ``train.step.make_loss_fn``; custom losses
+    register under their ``loss_module`` string.
+    """
     name = getattr(cfg, "loss_module", "train.losses.gdb_nerf")
     if name in _LOSSES:
         return _LOSSES[name](cfg, network)
-    from gdb_nerf_tpu.train.losses import LossComputer
+    from gdb_nerf_tpu.train.step import make_loss_fn
 
-    return LossComputer(cfg)
+    return make_loss_fn(network, tuple(cfg.mvs.loss_weight))

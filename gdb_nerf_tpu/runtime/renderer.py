@@ -75,6 +75,21 @@ class Renderer:
         force_sync(ret)
         return ret, mvs_depths
 
+    def render_prepared(self, dev_batch: dict):
+        """Forward on an already-transferred batch (see ``to_device``).
+
+        Use with the FPS timing protocol: transfer outside the timer, like
+        the reference's to_cuda-then-synchronize bracket
+        (/root/reference/run.py:54-66).
+        """
+        ret, mvs_depths, _ = self._apply(self.variables, dev_batch)
+        return ret, mvs_depths
+
+    def render_prepared_blocking(self, dev_batch: dict):
+        ret, mvs_depths = self.render_prepared(dev_batch)
+        force_sync(ret)
+        return ret, mvs_depths
+
 
 def init_network(network, cfg, seed: int = 0, sample_batch: dict | None = None):
     """Initialize network variables from a sample batch (or a synthetic one)."""

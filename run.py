@@ -55,6 +55,7 @@ def run_network(cfg) -> None:
     import tqdm
 
     from gdb_nerf_tpu.datasets import make_data_loader
+    from gdb_nerf_tpu.runtime.renderer import force_sync, to_device
 
     renderer = _build_renderer(cfg)
     loader = make_data_loader(cfg, is_train=False)
@@ -68,8 +69,13 @@ def run_network(cfg) -> None:
 
             jax.profiler.start_trace(cfg.record_dir)
             profiling = True
+        # Host->device transfer happens OUTSIDE the timer, matching the
+        # reference protocol (to_cuda before the synchronize/timer bracket,
+        # /root/reference/run.py:31-40).
+        dev_batch = to_device(batch)
+        force_sync(dev_batch)
         start = time.time()
-        renderer.render_blocking(batch)
+        renderer.render_prepared_blocking(dev_batch)
         total_time += time.time() - start
         n += 1
         if profiling and n == 4:
@@ -90,14 +96,20 @@ def run_evaluate(cfg) -> None:
 
     from gdb_nerf_tpu.datasets import make_data_loader
     from gdb_nerf_tpu.runtime import make_evaluator
+    from gdb_nerf_tpu.runtime.renderer import force_sync, to_device
 
     renderer = _build_renderer(cfg)
     loader = make_data_loader(cfg, is_train=False)
     evaluator = make_evaluator(cfg)
     net_time = []
     for batch in tqdm.tqdm(loader):
+        # Transfer outside the timer (reference: to_cuda precedes the
+        # synchronize/timer bracket, /root/reference/run.py:54-66).  On the
+        # tunneled dev TPU the upload RTT (~56 ms) would otherwise dominate.
+        dev_batch = to_device(batch)
+        force_sync(dev_batch)
         start = time.time()
-        ret, _ = renderer.render_blocking(batch)
+        ret, _ = renderer.render_prepared_blocking(dev_batch)
         net_time.append(time.time() - start)
         output = {k: np.asarray(v) for k, v in ret.items()}
         evaluator.evaluate(output, batch)

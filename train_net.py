@@ -76,11 +76,17 @@ def train(cfg) -> None:
         import jax.numpy as jnp
 
         net = state_raw["net"]
+        # Older checkpoints lack an explicit step counter; reconstruct it
+        # from the epoch.  ep_iter defaults to -1 ("whole dataset"), in
+        # which case the per-epoch iteration count is the loader length.
+        ep_steps = cfg.ep_iter if cfg.ep_iter > 0 else len(train_loader)
         trainer.state = TrainState(
             net["params"],
             net["batch_stats"],
             state_raw["optim"],
-            jnp.asarray(state_raw.get("step", begin_epoch * cfg.ep_iter), jnp.int32),
+            jnp.asarray(
+                state_raw.get("step", max(begin_epoch, 0) * ep_steps), jnp.int32
+            ),
         )
         recorder.load_state_dict(state_raw.get("recorder", {}))
     elif cfg.train.pretrain:
@@ -140,6 +146,13 @@ def main() -> None:
     args = make_parser().parse_args()
     cfg = make_cfg(args)
     if cfg.fix_random:
+        # Reference seeds python/numpy/torch (train_net.py:18-23).  Our
+        # equivalents: python+numpy here; dataset/sampler Generators are
+        # seeded by the loader factory from cfg.fix_random; traced RNG is
+        # jax.random with fixed keys already.
+        import random
+
+        random.seed(0)
         np.random.seed(0)
     if args.test:
         test(cfg)
