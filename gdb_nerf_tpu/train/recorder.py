@@ -48,6 +48,7 @@ class Recorder:
         self.loss_stats = defaultdict(SmoothedValue)
         self.batch_time = SmoothedValue()
         self.data_time = SmoothedValue()
+        self.image_stats: dict = {}
         self.writer = None
         if not enabled:
             return
@@ -67,7 +68,30 @@ class Recorder:
         for k, v in stats.items():
             self.loss_stats[k].update(float(v))
 
-    def record(self, prefix: str, step: int | None = None, stats: dict | None = None):
+    def update_image_stats(self, image_stats: dict) -> None:
+        """Stash images for the next record() — the reference recorder's
+        image_stats path (/root/reference/train/recorder.py:78-105), with
+        the gdb_nerf processor it never shipped: HWC float arrays clamped to
+        [0, 1]; 2-D arrays (depth) are normalized to their own range."""
+        if not self.enabled:
+            return
+        for k, v in image_stats.items():
+            img = np.asarray(v, dtype=np.float32)
+            if img.ndim == 4:  # batched: take the first element
+                img = img[0]
+            if img.ndim == 2:  # depth/opacity map -> normalized grayscale
+                lo, hi = float(img.min()), float(img.max())
+                img = (img - lo) / max(hi - lo, 1e-8)
+                img = img[..., None]
+            self.image_stats[k] = np.clip(img, 0.0, 1.0)
+
+    def record(
+        self,
+        prefix: str,
+        step: int | None = None,
+        stats: dict | None = None,
+        image_stats: dict | None = None,
+    ):
         if not self.enabled or self.writer is None:
             return
         step = self.step if step is None else step
@@ -76,6 +100,11 @@ class Recorder:
         }
         for k, v in stats.items():
             self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+        if image_stats:
+            self.update_image_stats(image_stats)
+        for k, img in self.image_stats.items():
+            self.writer.add_image(f"{prefix}/{k}", img, step, dataformats="HWC")
+        self.image_stats.clear()
 
     def state_dict(self) -> dict:
         return {"step": self.step}

@@ -84,13 +84,20 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
         }
         renderer = Renderer(self.network, variables)
+        image_stats = {}
         for batch in data_loader:
             ret, _ = renderer.render_blocking(batch)
             output = {k: np.asarray(v) for k, v in ret.items()}
             evaluator.evaluate(output, batch)
+            if not image_stats:  # pred/gt/depth panel from the first batch
+                image_stats = {
+                    "pred_rgb": output["rgb"],
+                    "gt_rgb": np.asarray(batch["tar_views"]["rgb"]),
+                    "nerf_depth": output["nerf_depth"],
+                }
         result = evaluator.summarize()
         if recorder is not None:
-            recorder.record("val", epoch, result)
+            recorder.record("val", epoch, result, image_stats)
 
 
 def _device_memory_mb() -> str:
