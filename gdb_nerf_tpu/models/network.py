@@ -50,9 +50,20 @@ class Network(nn.Module):
     nerf_hidden_dims: int = 64
     is_adaptive: bool = False
     viewdir_agg: bool = True
+    # Max bundles per render slab (the reference's cfg.nerf.chunk_size);
+    # grids larger than this render in sequential row chunks.
+    nerf_chunk_size: int = 1_000_000
     dec_layers: int = 3
     reweighting: bool = False
     axis_name: Optional[str] = None
+    # Mesh axis for sharded single-image inference: when set (and apply()
+    # runs under a jit with that mesh), the bundle-grid stages (sampling,
+    # encode, NeRF head, compositing) are sharded over image-row tiles on
+    # this axis — they are embarrassingly parallel per bundle (SURVEY §2.7's
+    # TPU plan).  The conv stages (FPN/U-Nets/decoder) read across rows, so
+    # they stay unsharded; XLA inserts the all_gather where the constraint
+    # changes.  See gdb_nerf_tpu/parallel/infer.py.
+    spatial_axis: Optional[str] = None
     # Activation dtype for the feature path ('float32' or 'bfloat16').
     # Geometry (rays, projections, depth regression, compositing weights)
     # always stays float32.  On the bandwidth-bound dev TPU bf16 is ~2x.
@@ -60,6 +71,14 @@ class Network(nn.Module):
     # Run the bundle NeRF head as a fused Pallas kernel (eval only — the
     # kernel has no custom VJP yet; training always uses the flax head).
     use_pallas: bool = False
+    # Fetch the b*b member-ray RGBs from one shared 4x4 patch row per
+    # (bundle, sample, view) instead of one 2x2 row per member ray (see
+    # ops.grid_sample.gather_patch_bilinear).  Measured on the dev TPU this
+    # LOSES (131 vs 98 ms encode): gathers run at ~250 M rows/s regardless
+    # of width, so the 4x row reduction saves ~8 ms while the patch-build
+    # pass and tent-weight einsums cost more.  Kept for wider-bundle
+    # configs (b=4 -> 16x row reduction) and row-rate-bound hardware.
+    member_patch: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any, axis_name: Optional[str] = None) -> "Network":
@@ -82,6 +101,7 @@ class Network(nn.Module):
             nerf_hidden_dims=cfg.nerf.nerf_hidden_dims,
             is_adaptive=cfg.nerf.is_adaptive,
             viewdir_agg=cfg.nerf.viewdir_agg,
+            nerf_chunk_size=int(cfg.nerf.chunk_size),
             dec_layers=cfg.nerf.dec_layers,
             reweighting=cfg.nerf.reweighting,
             axis_name=axis_name,
@@ -180,6 +200,16 @@ class Network(nn.Module):
             vol_range = resize2(vol_range)
             mvs_depth = jax.vmap(lambda d: resize_nearest(d, (H, W)))(mvs_depth)
 
+        def shard_rows(t, h_axis: int):
+            """Constrain t to be sharded over image rows on spatial_axis."""
+            if self.spatial_axis is None:
+                return t
+            from jax.sharding import PartitionSpec as P
+
+            spec = [None] * t.ndim
+            spec[h_axis] = self.spatial_axis
+            return jax.lax.with_sharding_constraint(t, P(*spec))
+
         rb = jax.vmap(
             lambda te, ti, n, f: bundles.make_ray_bundles(
                 te, ti, (H_orig, W_orig), n, f, b
@@ -187,19 +217,9 @@ class Network(nn.Module):
         )(tar_exts, tar_ints, near_far[:, 0], near_far[:, 1])
 
         inv = bool(self.mvs_inv_depth[-1])
-        samples = jax.vmap(
-            lambda r, dr, vr: bundles.sample_bundles(
-                r,
-                dr,
-                vr,
-                self.max_num_samples,
-                self.global_num_depth,
-                inv,
-                self.is_adaptive,
-            )
-        )(rb, depth_range, vol_range)
 
-        # 4. Source feature + rgb maps at bundle resolution, with mip pyramid.
+        # 4. Source feature + rgb maps at bundle resolution, with mip pyramid
+        # (shared by all row chunks).
         img_feat = ms_feats[self.feat_level]
         if img_feat.shape[2:4] != (H, W):
             img_feat = jax.vmap(jax.vmap(lambda f: resize_bilinear(f, (H, W))))(
@@ -214,23 +234,8 @@ class Network(nn.Module):
         pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
         packed, pyr_offsets = mip.pack_pyramid(pyramid)
 
-        enc = jax.vmap(
-            bundles.encode_samples,
-            in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None),
-        )(rb, samples, src_images.astype(cdtype), img_feat, packed,
-          pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
-          self.max_mipmap_level)
-
-        # 5. Bundle NeRF over every sample.  The heads take the view axis
-        # right after batch — the encoder's native layout, no transposes.
         S = self.max_num_samples
         bsq = b * b
-        rgbs_flat = enc.rgbs.reshape(B, V, H, W, S, bsq * 3)
-        payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
-        feat_rgb_dir = jnp.concatenate(
-            [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
-        )  # (B, V, H, W, S, F+3+4)
-
         head = BundleNeRF(
             self.nerf_hidden_dims,
             self.mvs_voxel_dim,
@@ -238,31 +243,140 @@ class Network(nn.Module):
             dtype=cdtype,
             name="nerf",
         )
-        if self.use_pallas and not train and self.is_initializing() is False:
-            from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
 
-            head_params = self.scope.get_variable("params", "nerf")
-            if head_params is None:
-                sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
-            else:
-                P = payload.shape[-1]
-                F4 = feat_rgb_dir.shape[-1]
-                vox_flat = enc.vox_feat.reshape(-1, enc.vox_feat.shape[-1])
-                pl_flat = jnp.moveaxis(payload, 1, 0).reshape(V, -1, P)
-                fr_flat = jnp.moveaxis(feat_rgb_dir, 1, 0).reshape(V, -1, F4)
-                sigma, feat = fused_bundle_nerf(
-                    head_params, vox_flat, pl_flat, fr_flat
+        def render_rows(rb_c, dr_c, vr_c, sharded: bool):
+            """Steps 5+6 (sample, encode, NeRF head, composite) over a slab
+            of bundle rows.  ``sharded`` applies the spatial_axis row-tile
+            constraints (whole-grid calls only)."""
+
+            def maybe_shard(t, h_axis):
+                return shard_rows(t, h_axis) if sharded else t
+
+            if sharded:
+                rb_c = bundles.RayBundle(
+                    rb_c.rays_o,
+                    shard_rows(rb_c.bundle_dirs, 1),
+                    shard_rows(rb_c.uv, 1),
+                    shard_rows(rb_c.cos, 1),
+                    rb_c.disk_radius,
+                    rb_c.near,
+                    rb_c.far,
                 )
-                sigma = sigma.reshape(B, H, W, S)
-                feat = feat.reshape(B, H, W, S, -1)
-        else:
-            sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+            samples = jax.vmap(
+                lambda r, dr, vr: bundles.sample_bundles(
+                    r,
+                    dr,
+                    vr,
+                    self.max_num_samples,
+                    self.global_num_depth,
+                    inv,
+                    self.is_adaptive,
+                )
+            )(rb_c, dr_c, vr_c)
+            if sharded:
+                samples = bundles.BundleSamples(
+                    *(shard_rows(t, 1) for t in samples)
+                )
 
-        # 6. Composite per bundle (disparity-space accumulation when inv).
-        weights = render.weights_from_sigma(sigma, samples.valid)
-        feat_map, depth_map, opacity = render.composite(
-            weights, feat, samples.z_vals
-        )
+            enc = jax.vmap(
+                bundles.encode_samples,
+                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
+            )(rb_c, samples, src_images.astype(cdtype), img_feat, packed,
+              pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
+              self.max_mipmap_level, self.member_patch)
+            if sharded:
+                # (rgbs, mip_feat, ray_diff) are (B, V, H, W, ...) -> H at
+                # axis 2; vox_feat is (B, H, W, ...) -> axis 1.
+                enc = bundles.EncodedSamples(
+                    shard_rows(enc.rgbs, 2),
+                    shard_rows(enc.mip_feat, 2),
+                    shard_rows(enc.ray_diff, 2),
+                    shard_rows(enc.vox_feat, 1),
+                )
+
+            # 5. Bundle NeRF over every sample.  The heads take the view
+            # axis right after batch — the encoder's native layout.
+            Hc = rb_c.bundle_dirs.shape[1]
+            rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
+            payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
+            feat_rgb_dir = jnp.concatenate(
+                [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
+            )  # (B, V, Hc, W, S, F+3+4)
+
+            if self.use_pallas and not train and self.is_initializing() is False:
+                from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
+
+                head_params = self.scope.get_variable("params", "nerf")
+                if head_params is None:
+                    sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+                else:
+                    P = payload.shape[-1]
+                    F4 = feat_rgb_dir.shape[-1]
+                    vox_flat = enc.vox_feat.reshape(-1, enc.vox_feat.shape[-1])
+                    pl_flat = jnp.moveaxis(payload, 1, 0).reshape(V, -1, P)
+                    fr_flat = jnp.moveaxis(feat_rgb_dir, 1, 0).reshape(V, -1, F4)
+                    sigma, feat = fused_bundle_nerf(
+                        head_params, vox_flat, pl_flat, fr_flat
+                    )
+                    sigma = sigma.reshape(B, Hc, W, S)
+                    feat = feat.reshape(B, Hc, W, S, -1)
+            else:
+                sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+
+            # 6. Composite per bundle (disparity accumulation when inv).
+            sigma = maybe_shard(sigma, 1)
+            feat = maybe_shard(feat, 1)
+            weights = render.weights_from_sigma(sigma, samples.valid)
+            return render.composite(weights, feat, samples.z_vals)
+
+        # Chunked rendering (the reference's cfg.nerf.chunk_size escape
+        # hatch, depth_net.py:100-104): bound live bundle-stage memory by
+        # processing row slabs sequentially.  The default chunk size (1e6
+        # bundles) never triggers at the shipped resolutions; large (1080p+)
+        # renders do.  Chunking and spatial sharding are alternative scaling
+        # mechanisms: chunks run unsharded.
+        n_chunks = 1
+        if self.nerf_chunk_size and H * W > self.nerf_chunk_size:
+            target = -(-H * W // self.nerf_chunk_size)
+            for n in range(min(target, H), H + 1):
+                if H % n == 0:
+                    n_chunks = n
+                    break
+
+        if n_chunks == 1:
+            feat_map, depth_map, opacity = render_rows(
+                rb, depth_range, vol_range, self.spatial_axis is not None
+            )
+        else:
+            rp = H // n_chunks
+            outs = []
+            for ci in range(n_chunks):
+                sl = slice(ci * rp, (ci + 1) * rp)
+                rb_c = bundles.RayBundle(
+                    rb.rays_o,
+                    rb.bundle_dirs[:, sl],
+                    rb.uv[:, sl],
+                    rb.cos[:, sl],
+                    rb.disk_radius,
+                    rb.near,
+                    rb.far,
+                )
+                outs.append(
+                    render_rows(
+                        rb_c, depth_range[:, :, sl], vol_range[:, :, sl], False
+                    )
+                )
+            feat_map, depth_map, opacity = (
+                jnp.concatenate(ts, axis=1) for ts in zip(*outs)
+            )
+
+        if self.spatial_axis is not None:
+            # Gather the bundle maps back before the decoder's spatial convs.
+            from jax.sharding import PartitionSpec as P
+
+            feat_map = jax.lax.with_sharding_constraint(feat_map, P())
+            depth_map = jax.lax.with_sharding_constraint(depth_map, P())
+            opacity = jax.lax.with_sharding_constraint(opacity, P())
         nerf_depth = 1.0 / depth_map if inv else depth_map  # (B, H, W)
 
         # 7. Decode: coarse RDN path + fine pixel-shuffle path.

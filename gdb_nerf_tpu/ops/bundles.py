@@ -25,9 +25,11 @@ import jax.numpy as jnp
 
 from gdb_nerf_tpu.ops import camera
 from gdb_nerf_tpu.ops.grid_sample import (
+    gather_patch_bilinear,
     grid_sample_2d_packed,
     grid_sample_3d_packed,
     pack_bilinear_2d,
+    pack_patch_2d,
     pack_trilinear_3d,
 )
 from gdb_nerf_tpu.ops.mip import mip_texture_fetch_packed
@@ -183,6 +185,7 @@ def encode_samples(
     src_exts: jax.Array,
     src_ints: jax.Array,
     max_mipmap_level: int,
+    member_patch: bool = False,
 ) -> EncodedSamples:
     """Sphere-based encoding of bundle samples from all source views.
 
@@ -203,6 +206,11 @@ def encode_samples(
       feat_volume: (D, Hv, Wv, C) regularized cost volume (channels-last).
       src_exts: (V, 4, 4), src_ints: (V, 3, 3) at original image resolution.
       max_mipmap_level: highest mip level to use.
+      member_patch: fetch all b*b member-ray RGBs from ONE shared 4x4 patch
+        gather row per (bundle, sample, view) instead of one 2x2 row per
+        member ray — b*b x fewer gather rows on the row-rate-bound hot path;
+        exact whenever the members' footprints fit the patch (they are ~1 px
+        apart in the source view; overflow clamps to the patch edge).
 
     Returns:
       EncodedSamples.
@@ -241,11 +249,20 @@ def encode_samples(
         cam = camera.mm(rays_xyz, ext[:3, :3].T) + ext[:3, 3]  # (H, W, S, bsq, 3)
         img = camera.mm(cam, K.T)
         zc = jnp.maximum(img[..., 2], 1e-6)
-        gx = 2.0 * (img[..., 0] / zc) / W_orig - 1.0
-        gy = 2.0 * (img[..., 1] / zc) / H_orig - 1.0
-        rgbs = grid_sample_2d_packed(
-            src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
-        )  # (H, W, S, bsq, 3)
+        if member_patch:
+            # index-space coords = pixel coords - 0.5 (same convention as
+            # unnormalizing the [-1,1] grid below).
+            cx = img[..., 0] / zc - 0.5
+            cy = img[..., 1] / zc - 0.5
+            rgbs = gather_patch_bilinear(
+                src_img, jnp.stack([cx, cy], axis=-1), ps=4
+            )  # (H, W, S, bsq, 3)
+        else:
+            gx = 2.0 * (img[..., 0] / zc) / W_orig - 1.0
+            gy = 2.0 * (img[..., 1] / zc) / H_orig - 1.0
+            rgbs = grid_sample_2d_packed(
+                src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
+            )  # (H, W, S, bsq, 3)
 
         # Sphere centers in source camera coords.
         ccenter = cam.mean(axis=3)  # (H, W, S, 3)
@@ -283,7 +300,10 @@ def encode_samples(
 
         return rgbs, mip_feat, ray_diff
 
-    src_packed = pack_bilinear_2d(src_images)  # (V, H, W, 12)
+    if member_patch:
+        src_packed = pack_patch_2d(src_images, 4)  # (V, H, W, 48)
+    else:
+        src_packed = pack_bilinear_2d(src_images)  # (V, H, W, 12)
     rgbs, mip_feat, ray_diff = jax.vmap(
         per_view, in_axes=(0, 0, 0, 0, 0, 0, 0)
     )(

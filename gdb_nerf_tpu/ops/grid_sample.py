@@ -177,6 +177,71 @@ def grid_sample_2d_packed(
     return top * wy0 + bot * wy1
 
 
+def pack_patch_2d(img: jax.Array, ps: int = 4) -> jax.Array:
+    """Pre-pack ps x ps neighborhoods: out[y, x] = img[y+dy, x+dx] for
+    dy, dx in row-major 0..ps-1, edge-replicated.
+
+    One gather row then serves a whole *group* of nearby sample points (the
+    b x b member rays of a bundle) — see gather_patch_bilinear.  On this
+    gather-row-rate-bound chip that is ~K x fewer rows for K points/group.
+    """
+    H, W, C = img.shape[-3:]
+    iy = jnp.arange(H)
+    ix = jnp.arange(W)
+    cols = []
+    for dy in range(ps):
+        ys = jnp.clip(iy + dy, 0, H - 1)
+        row = jnp.take(img, ys, axis=-3)
+        for dx in range(ps):
+            xs = jnp.clip(ix + dx, 0, W - 1)
+            cols.append(jnp.take(row, xs, axis=-2))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def gather_patch_bilinear(
+    packed: jax.Array, coords: jax.Array, ps: int = 4
+) -> jax.Array:
+    """Bilinear-sample a GROUP of nearby points from ONE patch gather row.
+
+    Args:
+      packed: (H, W, ps*ps*C) from pack_patch_2d.
+      coords: (..., K, 2) continuous index-space coordinates (x, y) — i.e.
+        pixel coordinate minus 0.5 — of K nearby points sharing one patch.
+        'border' padding semantics (coordinates are clipped first).
+
+    Returns:
+      (..., K, C) bilinear samples.
+
+    The patch is anchored at floor(min over the group); tent weights over
+    the ps patch positions reproduce bilinear interpolation EXACTLY whenever
+    each point's 2-texel footprint lies inside the patch (group spread
+    <= ps-2 texels — the typical case for b x b member rays that are ~1 px
+    apart in the source view).  Points that overflow are clamped to the
+    patch edge, i.e. degrade to nearest-in-patch — bounded, not garbage.
+    """
+    H, W, Cpp = packed.shape
+    C = Cpp // (ps * ps)
+    x = jnp.clip(coords[..., 0], 0.0, W - 1.0)  # (..., K)
+    y = jnp.clip(coords[..., 1], 0.0, H - 1.0)
+    ax = jnp.clip(jnp.floor(jnp.min(x, axis=-1)).astype(jnp.int32), 0, W - 1)
+    ay = jnp.clip(jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32), 0, H - 1)
+
+    rows = jnp.take(packed.reshape(H * W, Cpp), ay * W + ax, axis=0)
+    patch = rows.reshape(*rows.shape[:-1], ps, ps, C)
+
+    lx = jnp.clip(x - ax[..., None].astype(x.dtype), 0.0, ps - 1.0)  # (..., K)
+    ly = jnp.clip(y - ay[..., None].astype(y.dtype), 0.0, ps - 1.0)
+    pos = jnp.arange(ps, dtype=x.dtype)
+    wx = jnp.clip(1.0 - jnp.abs(lx[..., None] - pos), 0.0, 1.0)  # (..., K, ps)
+    wy = jnp.clip(1.0 - jnp.abs(ly[..., None] - pos), 0.0, 1.0)
+    wx = wx.astype(packed.dtype)
+    wy = wy.astype(packed.dtype)
+
+    # (..., K, ps) x (..., ps_y, ps_x, C) -> contract y then x on the VPU.
+    py = jnp.einsum("...ky,...yxc->...kxc", wy, patch)
+    return jnp.einsum("...kx,...kxc->...kc", wx, py)
+
+
 def pack_trilinear_3d(vol: jax.Array) -> jax.Array:
     """2x2x2 neighborhood pack for volumes: (D, H, W, C) -> (D, H, W, 8C),
     ordering [z0y0x0, z0y0x1, z0y1x0, z0y1x1, z1y0x0, ...]."""

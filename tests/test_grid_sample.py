@@ -93,3 +93,55 @@ def test_packed_3d_matches_unpacked(rng, padding):
     assert packed.shape == (D, H, W, 8 * C)
     ours = grid_sample_3d_packed(packed, grid, padding)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gather_patch_bilinear_matches_grid_sample(rng):
+    """Shared-patch group gather == per-point bilinear when spreads fit."""
+    import jax.numpy as jnp
+
+    from gdb_nerf_tpu.ops.grid_sample import (
+        gather_patch_bilinear,
+        grid_sample_2d,
+        pack_patch_2d,
+    )
+
+    H, W, C = 24, 30, 3
+    img = jnp.asarray(rng.uniform(size=(H, W, C)).astype(np.float32))
+    packed = pack_patch_2d(img, 4)
+
+    def ref(coords):
+        gx = 2.0 * (coords[..., 0] + 0.5) / W - 1.0
+        gy = 2.0 * (coords[..., 1] + 0.5) / H - 1.0
+        return grid_sample_2d(
+            img, jnp.stack([gx, gy], -1), padding_mode="border"
+        )
+
+    # interior groups with spread <= 1.5 texels: exact (fp32 rounding only)
+    centers = rng.uniform(1.0, [W - 2.0, H - 2.0], (500, 2)).astype(np.float32)
+    offs = rng.uniform(-0.75, 0.75, (500, 4, 2)).astype(np.float32)
+    coords = jnp.asarray(centers[:, None, :] + offs)
+    np.testing.assert_allclose(
+        np.asarray(gather_patch_bilinear(packed, coords, 4)),
+        np.asarray(ref(coords)),
+        atol=5e-6,
+    )
+
+    # groups hugging the borders: clamping matches 'border' semantics
+    centers = np.array(
+        [[0.2, 0.2], [W - 1.2, H - 1.2], [0.1, H - 1.1], [W - 1.05, 0.3]],
+        np.float32,
+    )
+    offs = rng.uniform(-0.6, 0.6, (4, 4, 2)).astype(np.float32)
+    coords = jnp.asarray(centers[:, None, :] + offs)
+    np.testing.assert_allclose(
+        np.asarray(gather_patch_bilinear(packed, coords, 4)),
+        np.asarray(ref(coords)),
+        atol=5e-6,
+    )
+
+    # overflowing group: values must stay within the patch's value range
+    # (graceful clamp, not garbage)
+    coords = jnp.asarray([[[5.0, 5.0], [15.0, 12.0], [5.5, 5.5], [6.0, 6.0]]])
+    out = np.asarray(gather_patch_bilinear(packed, coords, 4))
+    assert np.all(out >= float(img.min()) - 1e-6)
+    assert np.all(out <= float(img.max()) + 1e-6)

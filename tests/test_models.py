@@ -158,3 +158,23 @@ def test_network_adaptive_sampling(rng):
     vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
     ret, _, _ = net.apply(vars_, batch, train=False)
     assert np.isfinite(np.asarray(ret["rgb"])).all()
+
+
+def test_chunked_render_matches_unchunked(rng):
+    """nerf_chunk_size row-chunking is output-invariant (the reference's
+    cfg.nerf.chunk_size memory escape hatch)."""
+    batch = make_synthetic_batch(rng, B=1, V=2, H=64, W=64)
+    net = Network(**TINY)
+    variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+    ref, _, _ = net.apply(variables, batch, train=False)
+
+    import dataclasses
+
+    # bundle grid is 32x32 = 1024 bundles; chunk at 256 -> 4 row slabs
+    chunked = dataclasses.replace(net, nerf_chunk_size=256)
+    out, _, _ = chunked.apply(variables, batch, train=False)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )

@@ -1,0 +1,131 @@
+"""Sharded single-image inference: 8-way row-tiled render == single device.
+
+Exercises gdb_nerf_tpu/parallel/infer.py on the virtual 8-device CPU mesh:
+the bundle-grid stages run partitioned over image-row tiles via GSPMD and
+the output must match the unsharded render bit-for-bit (same ops, same
+data, only placement differs — XLA may re-fuse, so a tight-but-nonzero
+tolerance is used).  Also covers the multi-host env parsing and the
+per-host sampler+loader pipeline with faked process counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gdb_nerf_tpu.models.network import Network
+from tests.test_models import make_synthetic_batch
+
+TINY = dict(mvs_num_depth=(16, 8), max_num_samples=3)
+
+
+def test_sharded_render_matches_single_device(rng):
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    from gdb_nerf_tpu.parallel import ShardedRenderer, make_infer_mesh
+
+    batch = make_synthetic_batch(rng, B=1, V=2, H=64, W=64)
+    net = Network(**TINY)
+    variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+
+    ref, _, _ = jax.jit(lambda v, b: net.apply(v, b, train=False))(
+        variables, batch
+    )
+
+    mesh = make_infer_mesh(8)
+    renderer = ShardedRenderer(net, variables, mesh)
+    ret, _ = renderer.render_blocking(batch)
+
+    for k in ("rgb", "nerf_depth", "mvs_depth", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(ret[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_sharded_render_is_actually_sharded(rng):
+    """The compiled sharded executable must place the bundle-stage tensors
+    across all 8 devices (guard against constraints silently no-oping)."""
+    import dataclasses
+
+    from gdb_nerf_tpu.parallel import make_infer_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = make_synthetic_batch(rng, B=1, V=2, H=64, W=64)
+    plain = Network(**TINY)
+    variables = plain.init(jax.random.PRNGKey(0), batch, train=False)
+    net = dataclasses.replace(plain, spatial_axis="data")
+    mesh = make_infer_mesh(8)
+
+    # Carry the mesh on the inputs (as ShardedRenderer does) so the
+    # PartitionSpec constraints inside the network can resolve it.
+    replicated = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, replicated)
+    batch = jax.device_put(batch, replicated)
+    with mesh:
+        lowered = jax.jit(
+            lambda v, b: net.apply(v, b, train=False),
+            out_shardings=replicated,
+        ).lower(variables, batch)
+        compiled = lowered.compile()
+    # GSPMD must have introduced cross-device communication (the gather of
+    # row tiles before the decoder); a fully-replicated compile would have
+    # no collectives at all.
+    hlo = compiled.as_text()
+    assert "all-gather" in hlo or "all-reduce" in hlo or "collective" in hlo, (
+        "no collectives in sharded render HLO - constraints were dropped"
+    )
+
+
+def test_multihost_env_parsing():
+    from gdb_nerf_tpu.parallel.hosts import config_from_env
+
+    assert config_from_env({}) is None
+    assert config_from_env({"WORLD_SIZE": "4"}) is None  # no MASTER_ADDR
+    assert config_from_env({"MASTER_ADDR": "h", "WORLD_SIZE": "1"}) is None
+
+    c = config_from_env(
+        {"MASTER_ADDR": "host0", "MASTER_PORT": "29500", "WORLD_SIZE": "4",
+         "RANK": "2"}
+    )
+    assert c == dict(
+        coordinator_address="host0:29500", num_processes=4, process_id=2
+    )
+
+    c = config_from_env(
+        {"JAX_COORDINATOR_ADDRESS": "h:1", "JAX_NUM_PROCESSES": "2",
+         "JAX_PROCESS_ID": "1"}
+    )
+    assert c == dict(coordinator_address="h:1", num_processes=2, process_id=1)
+
+
+def test_per_host_loader_shards_cover_dataset(rng):
+    """Fake a 2-process run: each host's loader must see a disjoint,
+    covering, equally-sized slice of the dataset (the DistributedSampler
+    contract, /root/reference/datasets/samplers.py:109-165)."""
+    from types import SimpleNamespace
+
+    from gdb_nerf_tpu.datasets import make_data_loader
+    from gdb_nerf_tpu.config import load_cfg
+
+    cfg = load_cfg(
+        "configs/dtu_pretrain.yaml",
+        ["synthetic", "True", "train.batch_size", "2", "train.num_workers", "0"],
+    )
+    seen = []
+    lengths = []
+    for shard_id in range(2):
+        loader = make_data_loader(
+            cfg, is_train=True, num_shards=2, shard_id=shard_id
+        )
+        idxs = [
+            spec[0]
+            for batch_spec in loader.batch_sampler
+            for spec in batch_spec
+        ]
+        seen.append(set(idxs))
+        lengths.append(len(idxs))
+    assert lengths[0] == lengths[1]
+    n = len(loader.dataset)
+    # padded contiguous shards: union covers the dataset
+    assert set().union(*seen) == set(range(n))

@@ -20,17 +20,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=5, name=""):
+    """Chained-loop timing: per-iteration host syncs cost a full tunnel RTT
+    (~50 ms) here, so iterations are chained on-device via lax.fori_loop
+    (each depends on the previous through a 1e-12 perturbation of the first
+    float arg) and only ONE host read happens at the end — the same method
+    bench.py uses.  Returns (fn(*args), ms_per_iter)."""
+    import jax
+    import jax.numpy as jnp
+
     from gdb_nerf_tpu.runtime.renderer import force_sync
 
-    out = fn(*args)
-    force_sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        force_sync(out)  # block_until_ready lies on this platform
-    dt = (time.time() - t0) / iters * 1000
-    print(f"{name:<28} {dt:8.2f} ms", flush=True)
-    return out, dt
+    out = fn(*args)  # real output for downstream stages
+
+    # Find a float-array argument to perturb so iterations can't be CSE'd.
+    def perturb(args, eps):
+        done = False
+        new = []
+        for a in args:
+            if (
+                not done
+                and hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating)
+            ):
+                new.append(a + eps.astype(a.dtype))
+                done = True
+            else:
+                new.append(a)
+        assert done, "no float arg to perturb"
+        return tuple(new)
+
+    def run_n(n):
+        def body(i, carry):
+            o = fn(*perturb(args, carry * 1e-12))
+            leaves = [
+                l for l in jax.tree_util.tree_leaves(o)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            ]
+            return sum(jnp.mean(l).astype(jnp.float32) for l in leaves)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    g = jax.jit(run_n, static_argnums=0)
+    force_sync(g(iters))  # compile + warmup
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        force_sync(g(iters))
+        best = min(best, (time.time() - t0) / iters * 1000)
+    print(f"{name:<28} {best:8.2f} ms", flush=True)
+    return out, best
 
 
 def main():
@@ -39,6 +77,8 @@ def main():
     ap.add_argument("--views", type=int, default=3)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="feature-path dtype (bench.py uses bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -54,11 +94,12 @@ def main():
     V = args.views
     S = args.samples
     B = 1
-    print(f"device: {jax.devices()[0]}  size {H}x{W}  V={V}  S={S}")
+    dt = jnp.dtype(args.dtype)
+    print(f"device: {jax.devices()[0]}  size {H}x{W}  V={V}  S={S}  dtype={dt.name}")
     key = jax.random.PRNGKey(0)
 
     # --- FPN ---
-    fpn = FeatureNet()
+    fpn = FeatureNet(dtype=dt)
     imgs = jax.random.uniform(key, (B * V, H, W, 3))
     fv = fpn.init(key, imgs, train=False)
     f_fpn = jax.jit(lambda v, x: fpn.apply(v, x, train=False))
@@ -90,11 +131,11 @@ def main():
             f, src_exts, src_ints0, tar_ext, scale_K(Kj, 0.125), dv0, True
         )
     )
-    feat0 = feats[0].reshape(V, H // 4, W // 4, 32)
+    feat0 = feats[0].reshape(V, H // 4, W // 4, 32).astype(dt)
     vol0, _ = timed(f_cv0, feat0, iters=args.iters, name="cost volume stage0")
 
     # --- stage 0 reg ---
-    reg0 = CostRegNetSmall(8, 8)
+    reg0 = CostRegNetSmall(8, 8, None, dt)
     rv0 = reg0.init(key, vol0[None], train=False)
     f_reg0 = jax.jit(lambda v, x: reg0.apply(v, x, train=False))
     (fvol0, prob0), _ = timed(f_reg0, rv0, vol0[None], iters=args.iters, name="CostRegSmall stage0")
@@ -106,7 +147,7 @@ def main():
         jnp.linspace(2.5, 6.0, D1)[:, None, None], (D1, h2, w2)
     )
     src_ints1 = jnp.stack([scale_K(Kj, 0.5)] * V)
-    feat1 = feats[1].reshape(V, H // 2, W // 2, 16)
+    feat1 = feats[1].reshape(V, H // 2, W // 2, 16).astype(dt)
     f_cv1 = jax.jit(
         lambda f: cost_volume.build_cost_volume(
             f, src_exts, src_ints1, tar_ext, scale_K(Kj, 0.5), dv1, False
@@ -114,7 +155,7 @@ def main():
     )
     vol1, _ = timed(f_cv1, feat1, iters=args.iters, name="cost volume stage1")
 
-    reg1 = CostRegNet(8, 8)
+    reg1 = CostRegNet(8, 8, None, dt)
     rv1 = reg1.init(key, vol1[None], train=False)
     f_reg1 = jax.jit(lambda v, x: reg1.apply(v, x, train=False))
     (fvol1, prob1), _ = timed(f_reg1, rv1, vol1[None], iters=args.iters, name="CostRegNet stage1")
@@ -135,8 +176,8 @@ def main():
     smp, _ = timed(f_sample, dr, vr, iters=args.iters, name="bundle sampling")
 
     # --- encoding ---
-    src_imgs = jax.random.uniform(key, (V, H, W, 3))
-    img_feat = jax.random.uniform(key, (V, Hb, Wb, 16 + 3))
+    src_imgs = jax.random.uniform(key, (V, H, W, 3)).astype(dt)
+    img_feat = jax.random.uniform(key, (V, Hb, Wb, 16 + 3)).astype(dt)
     f_enc = jax.jit(
         lambda si, ifeat, fv: bundles.encode_samples(
             rb,
@@ -153,7 +194,7 @@ def main():
     enc, _ = timed(f_enc, src_imgs, img_feat, fvol1[0], iters=args.iters, name="encode samples")
 
     # --- NeRF head + composite ---
-    head = BundleNeRF(64, 8)
+    head = BundleNeRF(64, 8, True, dt)
     bsq = b * b
     payload = jnp.concatenate(
         [enc.rgbs.reshape(V, Hb, Wb, S, bsq * 3), enc.mip_feat], axis=-1
@@ -174,7 +215,7 @@ def main():
     )
 
     # --- decoder ---
-    dec = Decoder(3, 64, 3, b)
+    dec = Decoder(3, 64, 3, b, dt)
     dvr = dec.init(key, fmap[..., bsq * 3 :])
     f_dec = jax.jit(lambda v, x: dec.apply(v, x))
     timed(f_dec, dvr, fmap[..., bsq * 3 :], iters=args.iters, name="RDN decoder")

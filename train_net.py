@@ -20,6 +20,14 @@ from gdb_nerf_tpu.config import make_cfg, make_parser
 def train(cfg) -> None:
     import jax
 
+    # Multi-host: the jax.distributed equivalent of the reference's NCCL
+    # init_process_group (train_net.py:107-111).  No-op without coordinator
+    # env vars (JAX_COORDINATOR_ADDRESS, or torchrun-style MASTER_ADDR +
+    # WORLD_SIZE/RANK); must run before any other jax call.
+    from gdb_nerf_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     # bf16-truncated matmuls destabilize training on TPU (verified: loss
     # spikes at ~iter 60 that CPU runs never show); pin full precision.
     jax.config.update(
