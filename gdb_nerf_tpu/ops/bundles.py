@@ -165,6 +165,37 @@ def sample_bundles(
     return BundleSamples(z_vals, z_metric, valid, uvd, ball_radii, spb)
 
 
+def _fetch_vox(feat_volume: jax.Array, samples: BundleSamples) -> jax.Array:
+    """Voxel-aligned features for every bundle sample.
+
+    When the cost volume's spatial grid equals the bundle grid (the shipped
+    configs: vol_scales[-1] == 1/bundle_size), the uvd xy coordinates are
+    *exactly* the volume texel centers — the trilinear lookup degenerates to
+    a 1-D linear interpolation along depth, i.e. 2 narrow gather rows per
+    sample instead of one 8C-packed row from a pack_trilinear_3d volume
+    whose construction alone writes D*H*W*8C elements.  Falls back to the
+    general packed trilinear path when the grids differ.
+    """
+    D, Hv, Wv, C = feat_volume.shape
+    H, W, S = samples.z_vals.shape
+    if (Hv, Wv) != (H, W):
+        vox_packed = pack_trilinear_3d(feat_volume)
+        return grid_sample_3d_packed(
+            vox_packed, samples.uvd, padding_mode="border"
+        )
+
+    d = samples.uvd[..., 2]  # (H, W, S) normalized depth coordinate
+    zc = jnp.clip((d + 1.0) * D * 0.5 - 0.5, 0.0, D - 1.0)  # border semantics
+    d0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, D - 1)
+    d1 = jnp.minimum(d0 + 1, D - 1)
+    w = (zc - d0.astype(zc.dtype))[..., None].astype(feat_volume.dtype)
+    base = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :])[..., None]
+    flat = feat_volume.reshape(D * H * W, C)
+    r0 = jnp.take(flat, d0 * (H * W) + base, axis=0)
+    r1 = jnp.take(flat, d1 * (H * W) + base, axis=0)
+    return r0 * (1.0 - w) + r1 * w
+
+
 class EncodedSamples(NamedTuple):
     """Per-sample features gathered from source views and the cost volume."""
 
@@ -222,17 +253,20 @@ def encode_samples(
     b_size = int(round(bsq**0.5))
     Hf, Wf = img_feat.shape[1:3]
 
-    # Voxel-aligned features from the cost volume (2x2x2-packed: 1 gather
-    # row per sample instead of 8).
-    vox_packed = pack_trilinear_3d(feat_volume)
-    vox_feat = grid_sample_3d_packed(vox_packed, samples.uvd, padding_mode="border")
+    vox_feat = _fetch_vox(feat_volume, samples)
 
-    # World positions of every member ray sample: (H, W, S, bsq, 3).
-    rays_xyz = (
-        rb.rays_o
-        + rb.bundle_dirs[:, :, None, :, :] * samples.z_metric[..., None, None]
-    )
-    bundle_xyz = rays_xyz.mean(axis=3)  # (H, W, S, 3) sphere centers (world)
+    # Bundle-center geometry.  Member-ray positions are never materialized:
+    # since member k's direction is d_mean + off_k with a pixel-space offset
+    # that is linear in the ray-building matmul, its projection into any
+    # view is exactly ``proj(center) + (K R off_k) * z`` — an affine
+    # correction applied in image space (saves the (H, W, S, b^2, 3)
+    # world-point tensors and two full-size geometry matmuls per view).
+    bundle_d_mean = rb.bundle_dirs.mean(axis=2)  # (H, W, 3)
+    d_off = rb.bundle_dirs - bundle_d_mean[:, :, None, :]  # (H, W, bsq, 3)
+    z = samples.z_metric  # (H, W, S)
+    bundle_xyz = (
+        rb.rays_o + bundle_d_mean[:, :, None, :] * z[..., None]
+    )  # (H, W, S, 3) sphere centers (world)
 
     tar_cam_xyz = rb.rays_o
     src_cam_xyz = jax.vmap(lambda e: camera.invert_extrinsics(e)[:3, 3])(src_exts)
@@ -244,10 +278,25 @@ def encode_samples(
     src_ints_scaled = src_ints * scale[None]
     src_pix_radius = jax.vmap(camera.pixel_radius)(src_ints_scaled)  # (V,)
 
+    def l2norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    tar_diff = l2norm(bundle_xyz - tar_cam_xyz)  # view-independent
+
     def per_view(src_img, packed, ext, K, K_scaled, cam_xyz, pix_r):
-        # Member rays -> source camera / image coords.
-        cam = camera.mm(rays_xyz, ext[:3, :3].T) + ext[:3, 3]  # (H, W, S, bsq, 3)
-        img = camera.mm(cam, K.T)
+        R, t = ext[:3, :3], ext[:3, 3]
+        # Sphere centers in source camera coords: base + (R d_mean) * z.
+        cam0 = camera.mm(rb.rays_o, R.T) + t  # (3,)
+        Rd = camera.mm(bundle_d_mean, R.T)  # (H, W, 3)
+        ccenter = cam0 + Rd[:, :, None, :] * z[..., None]  # (H, W, S, 3)
+
+        # Member projections in full-res image space: affine in the member
+        # offset.  img_k = K ccenter + (K R off_k) * z.
+        img_c = camera.mm(ccenter, K.T)  # (H, W, S, 3)
+        KRoff = camera.mm(d_off, camera.mm(K, R).T)  # (H, W, bsq, 3)
+        img = (
+            img_c[:, :, :, None, :] + KRoff[:, :, None, :, :] * z[..., None, None]
+        )  # (H, W, S, bsq, 3)
         zc = jnp.maximum(img[..., 2], 1e-6)
         if member_patch:
             # index-space coords = pixel coords - 0.5 (same convention as
@@ -264,8 +313,7 @@ def encode_samples(
                 src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
             )  # (H, W, S, bsq, 3)
 
-        # Sphere centers in source camera coords.
-        ccenter = cam.mean(axis=3)  # (H, W, S, 3)
+        # Sphere projection radius -> fractional mip level.
         dist = jnp.linalg.norm(ccenter, axis=-1)
         sec_sq = jnp.square(dist / ccenter[..., 2])
         ratio = jnp.square(dist / samples.ball_radii) - 1.0
@@ -289,10 +337,6 @@ def encode_samples(
         )  # (H, W, S, F)
 
         # Ray difference features.
-        def l2norm(x):
-            return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-
-        tar_diff = l2norm(bundle_xyz - tar_cam_xyz)
         src_diff = l2norm(bundle_xyz - cam_xyz)
         direction = l2norm(tar_diff - src_diff)
         dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)

@@ -52,9 +52,10 @@ smp = bundles.sample_bundles(rb, dr, vr, 6, 64, False, True)
 print("adaptive samples/bundle: min", float(smp.samples_per_bundle.min()), "max", float(smp.samples_per_bundle.max()))
 
 feat_vol = jnp.zeros((32, H, W, 4))  # dummy voxel features
-pyr = mip.build_pyramid(jnp.array(src_imgs), 3)
-enc = bundles.encode_samples(rb, smp, jnp.array(src_imgs), jnp.array(src_imgs), [p for p in pyr],
-                             feat_vol, jnp.array(src_exts), jnp.array(src_ints), 3)
+packed, offs = mip.pack_pyramid(mip.build_pyramid(jnp.array(src_imgs), 3))
+enc = bundles.encode_samples(rb, smp, jnp.array(src_imgs), jnp.array(src_imgs),
+                             packed, offs, feat_vol,
+                             jnp.array(src_exts), jnp.array(src_ints), 3)
 print("encoded rgbs shape:", enc.rgbs.shape, "mip feat:", enc.mip_feat.shape)
 
 # density peaked at the sample closest to the true plane depth
