@@ -262,13 +262,19 @@ def encode_samples(
     # correction applied in image space (saves the (H, W, S, b^2, 3)
     # world-point tensors and two full-size geometry matmuls per view).
     bundle_d_mean = rb.bundle_dirs.mean(axis=2)  # (H, W, 3)
-    d_off = rb.bundle_dirs - bundle_d_mean[:, :, None, :]  # (H, W, bsq, 3)
+    # Member-direction offsets are IMAGE-CONSTANT: rays_d = M @ [x, y, 1] is
+    # linear in the pixel coordinate (camera.build_rays), and every bundle's
+    # members sit at the same fixed pixel offsets from its center — so one
+    # bundle's (bsq, 3) offsets serve the whole image (saves the (H, W,
+    # bsq, 3) tensor and a full-size matmul per view below).
+    d_off = (
+        rb.bundle_dirs[0, 0] - bundle_d_mean[0, 0][None, :]
+    )  # (bsq, 3)
     z = samples.z_metric  # (H, W, S)
     bundle_xyz = (
         rb.rays_o + bundle_d_mean[:, :, None, :] * z[..., None]
     )  # (H, W, S, 3) sphere centers (world)
 
-    tar_cam_xyz = rb.rays_o
     src_cam_xyz = jax.vmap(lambda e: camera.invert_extrinsics(e)[:3, 3])(src_exts)
 
     # Source intrinsics at bundle-feature resolution; pixel radius there.
@@ -281,7 +287,10 @@ def encode_samples(
     def l2norm(x):
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
-    tar_diff = l2norm(bundle_xyz - tar_cam_xyz)  # view-independent
+    # tar_diff = normalize(bundle_xyz - rays_o) = normalize(d_mean * z) =
+    # normalize(d_mean): sample-independent, so it collapses from
+    # (H, W, S, 3) to (H, W, 3).
+    tar_diff = l2norm(bundle_d_mean)[:, :, None, :]  # (H, W, 1, 3)
 
     def per_view(src_img, packed, ext, K, K_scaled, cam_xyz, pix_r):
         R, t = ext[:3, :3], ext[:3, 3]
@@ -293,9 +302,9 @@ def encode_samples(
         # Member projections in full-res image space: affine in the member
         # offset.  img_k = K ccenter + (K R off_k) * z.
         img_c = camera.mm(ccenter, K.T)  # (H, W, S, 3)
-        KRoff = camera.mm(d_off, camera.mm(K, R).T)  # (H, W, bsq, 3)
+        KRoff = camera.mm(d_off, camera.mm(K, R).T)  # (bsq, 3)
         img = (
-            img_c[:, :, :, None, :] + KRoff[:, :, None, :, :] * z[..., None, None]
+            img_c[:, :, :, None, :] + KRoff * z[..., None, None]
         )  # (H, W, S, bsq, 3)
         zc = jnp.maximum(img[..., 2], 1e-6)
         if member_patch:
@@ -313,7 +322,9 @@ def encode_samples(
                 src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
             )  # (H, W, S, bsq, 3)
 
-        # Sphere projection radius -> fractional mip level.
+        # Sphere projection radius -> fractional mip level.  ``dist`` is also
+        # |bundle_xyz - cam_xyz| (rigid transforms preserve norms), so it is
+        # reused to normalize src_diff below.
         dist = jnp.linalg.norm(ccenter, axis=-1)
         sec_sq = jnp.square(dist / ccenter[..., 2])
         ratio = jnp.square(dist / samples.ball_radii) - 1.0
@@ -336,8 +347,10 @@ def encode_samples(
             max_mipmap_level,
         )  # (H, W, S, F)
 
-        # Ray difference features.
-        src_diff = l2norm(bundle_xyz - cam_xyz)
+        # Ray difference features.  (direction keeps its own norm rather
+        # than the algebraic sqrt(2 - 2 dot): near-parallel target/source
+        # rays cancel catastrophically through dot.)
+        src_diff = (bundle_xyz - cam_xyz) / jnp.maximum(dist, 1e-12)[..., None]
         direction = l2norm(tar_diff - src_diff)
         dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
         ray_diff = jnp.concatenate([direction, dot], axis=-1)  # (H, W, S, 4)
