@@ -147,8 +147,12 @@ def make_data_loader(
             sampler_meta=section.sampler_meta,
         )
     elif name == "image_size":
+        meta = section.sampler_meta
         batch_sampler = S.ImageSizeBatchSampler(
-            sampler, section.batch_size, drop_last=False
+            sampler, section.batch_size, drop_last=False,
+            min_hw=tuple(getattr(meta, "min_hw", (256, 256))),
+            max_hw=tuple(getattr(meta, "max_hw", (480, 640))),
+            strategy=getattr(meta, "strategy", "random"),
         )
     else:
         batch_sampler = S.DefaultBatchSampler(

@@ -15,7 +15,7 @@ Reproduces the reference's sampler semantics
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -176,37 +176,46 @@ class IterationBasedBatchSampler:
 
 
 class ImageSizeBatchSampler:
-    """Batches with a random (H, W) rounded to /32, smuggled like the enerf
-    sampler's tuples: yields (idx, (h, w), render_scale).
+    """Batches carrying a per-batch random crop size: yields (idx, h, w).
 
-    Present for parity with the reference's sampler inventory
-    (/root/reference/datasets/samplers.py:44-81); unused by the shipped
-    gdb_nerf configs there as well.
+    Format-faithful to the reference sampler
+    (/root/reference/datasets/samplers.py:44-81): every batch draws one
+    (h, w) in [min_hw, max_hw] rounded UP to the next multiple of 32 (the
+    reference's ``(v | 31) + 1``), or (-1, -1) under the 'origin' strategy.
+    Like the reference, it pairs with datasets whose ``__getitem__`` accepts
+    (idx, h, w) crop tuples — the gdb_nerf datasets take
+    (idx, views, scale) tuples from EnerfBatchSampler instead, in both
+    codebases.
     """
 
     def __init__(self, sampler, batch_size: int, drop_last: bool,
-                 min_hw=(256, 256), max_hw=(480, 640), seed: int = 0):
+                 min_hw=(256, 256), max_hw=(480, 640), strategy: str = "random",
+                 seed: Optional[int] = 0):
         self.sampler = sampler
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.min_hw = min_hw
         self.max_hw = max_hw
+        self.strategy = strategy
+        self.divisor = 32
         self.rng = np.random.default_rng(seed)
 
     def _draw_hw(self):
-        h = self.rng.integers(self.min_hw[0], self.max_hw[0] + 1)
-        w = self.rng.integers(self.min_hw[1], self.max_hw[1] + 1)
-        return (int(h) // 32 * 32, int(w) // 32 * 32)
+        if self.strategy == "origin":
+            return -1, -1
+        h = int(self.rng.integers(self.min_hw[0], self.max_hw[0] + 1))
+        w = int(self.rng.integers(self.min_hw[1], self.max_hw[1] + 1))
+        return (h | (self.divisor - 1)) + 1, (w | (self.divisor - 1)) + 1
 
     def __iter__(self):
         batch = []
-        hw = self._draw_hw()
+        h, w = self._draw_hw()
         for idx in self.sampler:
-            batch.append((idx, hw, 1.0))
+            batch.append((idx, h, w))
             if len(batch) == self.batch_size:
                 yield batch
                 batch = []
-                hw = self._draw_hw()
+                h, w = self._draw_hw()
         if batch and not self.drop_last:
             yield batch
 

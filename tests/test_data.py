@@ -133,7 +133,15 @@ def test_image_size_batch_sampler():
     batches = list(bs)
     assert len(batches) == 3
     for batch in batches:
-        hws = {hw for _, hw, _ in batch}
+        hws = {(h, w) for _, h, w in batch}
         assert len(hws) == 1  # one size per batch
         (h, w) = next(iter(hws))
+        # Reference rounds UP to the next multiple of 32: (v | 31) + 1.
         assert h % 32 == 0 and w % 32 == 0
+        assert 256 < h <= 512 and 256 < w <= 672
+
+    origin = S.ImageSizeBatchSampler(
+        S.SequentialSampler(3), 3, False, strategy="origin"
+    )
+    (batch,) = list(origin)
+    assert all((h, w) == (-1, -1) for _, h, w in batch)
