@@ -61,8 +61,7 @@ def _stage_sample_features(
       tar_ext: (4, 4).
 
     Returns:
-      vox_feat: (num_rays, S, C); feats: (V, num_rays, S, F);
-      ray_diff: (V, num_rays, S, 4).
+      vox_feat: (num_rays, S, C); img_feat_rgb_dir: (num_rays, S, V, F+4).
     """
     Hf, Wf = img_feat_rgb.shape[1:3]
     vox_feat = grid_sample_3d(feat_volume, uvd, padding_mode="border")
@@ -90,11 +89,11 @@ def _stage_sample_features(
         src_diff = l2norm(world_xyz - cam_xyz)
         direction = l2norm(tar_diff - src_diff)
         dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
-        return feats, jnp.concatenate([direction, dot], axis=-1)
+        return jnp.concatenate([feats, direction, dot], axis=-1)
 
-    feats, ray_diff = jax.vmap(per_view)(img_feat_rgb, src_exts, src_ints_stage)
-    # (V, num_rays, S, ...); the stage NeRF takes the view axis after batch.
-    return vox_feat, feats, ray_diff
+    per_view_feats = jax.vmap(per_view)(img_feat_rgb, src_exts, src_ints_stage)
+    # (V, num_rays, S, F+4); the stage NeRF takes the view axis after batch.
+    return vox_feat, per_view_feats
 
 
 class DepthNet(nn.Module):
@@ -306,16 +305,16 @@ class DepthNet(nn.Module):
             return world, uvd, z_vals
 
         world, uvd, z_vals = jax.vmap(geometry)(tar_exts, tar_ints_stage, ci, vol_range)
-        vox_feat, img_feats, ray_diff = jax.vmap(_stage_sample_features)(
+        vox_feat, img_dir = jax.vmap(_stage_sample_features)(
             feat_volume, img_feat_rgb, world, uvd, src_exts, src_ints_stage, tar_exts
-        )  # (B, N, S, C), (B, V, N, S, F), (B, V, N, S, 4)
+        )  # (B, N, S, C), (B, N, S, V, F+4)
 
         sigma, rgb = StageNeRF(
             self.nerf_hidden_dims,
             self.viewdir_agg,
             dtype=self.dtype,
             name=f"stage_nerf_{idx}",
-        )(vox_feat, img_feats, ray_diff)
+        )(vox_feat, img_dir)
 
         # Vanilla (unnormalized) compositing — depth_net.py:109-114.
         alpha = 1.0 - jnp.exp(-sigma)  # (B, N, S)

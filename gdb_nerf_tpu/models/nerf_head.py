@@ -48,21 +48,20 @@ def _var_mean_unbiased(x: jax.Array, axis: int = V_AXIS):
 class ViewAggregator(nn.Module):
     """Shared view-direction-aware feature aggregation trunk.
 
-    Input (B, V, ..., feat_dim+3) [feature, rgb] plus (B, V, ..., 4)
-    ray-diff; output (B, ..., 16) pooled across views.  The torch module
-    takes one concatenated tensor; passing the halves separately avoids
-    materializing a (V, ..., F+4) concat that exists only to be re-sliced.
+    Input (B, V, ..., feat_dim+3+4) [feature, rgb, ray-diff(4)];
+    output (B, ..., 16) pooled across views.
     """
 
     viewdir_agg: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img_feat_rgb: jax.Array, ray_diff: jax.Array) -> jax.Array:
+    def __call__(self, feat_rgb_dir: jax.Array) -> jax.Array:
+        img_feat_rgb = feat_rgb_dir[..., :-4]
         if self.viewdir_agg:
             view_feat = nn.relu(
                 nn.Dense(img_feat_rgb.shape[-1], dtype=self.dtype, name="view_fc")(
-                    ray_diff
+                    feat_rgb_dir[..., -4:]
                 )
             )
             img_feat_rgb = img_feat_rgb + view_feat
@@ -95,34 +94,26 @@ class BundleNeRF(nn.Module):
     def __call__(
         self,
         vox_feat: jax.Array,
-        rgbs: jax.Array,
-        mip_feat: jax.Array,
-        ray_diff: jax.Array,
+        payload: jax.Array,
+        feat_rgb_dir: jax.Array,
     ):
         """Args:
           vox_feat: (..., voxel_dim) cost-volume features.
-          rgbs: (V, ..., bsq*3) per-view member-ray RGBs.
-          mip_feat: (V, ..., feat_dim+3) per-view mip feature ++ rgb.
-          ray_diff: (V, ..., 4) per-view ray-difference features.
-
-        The torch head consumes cat([rgbs, mip_feat]) as the blendable
-        payload and cat([mip_feat, ray_diff]) as the aggregation/weight
-        input; taking the parts separately keeps those (V, ...)-sized
-        concats out of HBM — every matmul over a concat is split into
-        per-part matmuls (converter splits the torch kernels to match).
+          payload: (V, ..., P) per-view blendable payload
+            (member-ray RGBs ++ mip feature ++ rgb).
+          feat_rgb_dir: (V, ..., feat_dim+3+4) aggregation input (the mip
+            feature ++ rgb ++ ray-diff slice of the encoding).
 
         Returns:
           sigma: (...,) density (float32).
-          feat: (..., bsq*3 + feat_dim+3 + voxel_dim) blended payload ++
-            learned feature.
+          feat: (..., P + voxel_dim) blended payload ++ learned feature.
         """
         vox_feat = vox_feat.astype(self.dtype)
-        rgbs = rgbs.astype(self.dtype)
-        mip_feat = mip_feat.astype(self.dtype)
-        ray_diff = ray_diff.astype(self.dtype)
+        payload = payload.astype(self.dtype)
+        feat_rgb_dir = feat_rgb_dir.astype(self.dtype)
 
         img_feat = ViewAggregator(self.viewdir_agg, self.dtype, name="agg")(
-            mip_feat, ray_diff
+            feat_rgb_dir
         )
         vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
         x = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype, name="lr0")(vox_img))
@@ -130,26 +121,18 @@ class BundleNeRF(nn.Module):
             nn.Dense(1, dtype=jnp.float32, name="sigma")(x.astype(jnp.float32))
         )[..., 0]
 
-        # weight head input is cat([x, vox_img] (shared), mip_feat, ray_diff
-        # (per-view)): split the first matmul so the shared half runs once
-        # per sample and no per-view concat materializes.
+        # weight head input is cat([x, vox_img] (shared), frd (per-view)):
+        # split the first matmul so the shared half runs once per sample.
         shared = nn.Dense(self.hid_dim, dtype=self.dtype, name="weight0_shared")(
             jnp.concatenate([x, vox_img], axis=-1)
         )
         pv = nn.Dense(
             self.hid_dim, use_bias=False, dtype=self.dtype, name="weight0_view"
-        )(mip_feat) + nn.Dense(
-            self.hid_dim, use_bias=False, dtype=self.dtype, name="weight0_dir"
-        )(ray_diff)
+        )(feat_rgb_dir)
         w = nn.relu(jnp.expand_dims(shared, V_AXIS) + pv)  # (B, V, ..., hid)
         w = nn.relu(nn.Dense(1, dtype=self.dtype, name="weight1")(w))
         w = nn.softmax(w.astype(jnp.float32), axis=V_AXIS).astype(self.dtype)
-        # blended payload == cat([sum(rgbs w), sum(mip w)]) — the pooled
-        # concat is V-fold smaller than the per-view one.
-        blended = jnp.concatenate(
-            [jnp.sum(rgbs * w, axis=V_AXIS), jnp.sum(mip_feat * w, axis=V_AXIS)],
-            axis=-1,
-        )  # (B, ..., P)
+        blended = jnp.sum(payload * w, axis=V_AXIS)  # (B, ..., P)
 
         extra = nn.relu(nn.Dense(self.voxel_dim, dtype=self.dtype, name="feat_head")(x))
         feat = jnp.concatenate([blended, extra], axis=-1)
@@ -164,23 +147,19 @@ class StageNeRF(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(
-        self, vox_feat: jax.Array, img_feat_rgb: jax.Array, ray_diff: jax.Array
-    ):
+    def __call__(self, vox_feat: jax.Array, img_feat_rgb_dir: jax.Array):
         """Args:
           vox_feat: (..., voxel_dim).
-          img_feat_rgb: (V, ..., feat_dim+3) per-view feature ++ rgb.
-          ray_diff: (V, ..., 4).
+          img_feat_rgb_dir: (V, ..., feat_dim+3+4).
 
         Returns:
           sigma: (...,), rgb: (..., 3) — both float32.
         """
         vox_feat = vox_feat.astype(self.dtype)
-        img_feat_rgb = img_feat_rgb.astype(self.dtype)
-        ray_diff = ray_diff.astype(self.dtype)
+        img_feat_rgb_dir = img_feat_rgb_dir.astype(self.dtype)
 
         img_feat = ViewAggregator(self.viewdir_agg, self.dtype, name="agg")(
-            img_feat_rgb, ray_diff
+            img_feat_rgb_dir
         )
         vox_img = jnp.concatenate([vox_feat, img_feat], axis=-1)
         x = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype, name="lr0")(vox_img))
@@ -193,13 +172,11 @@ class StageNeRF(nn.Module):
         )
         pv = nn.Dense(
             self.hid_dim, use_bias=False, dtype=self.dtype, name="color0_view"
-        )(img_feat_rgb) + nn.Dense(
-            self.hid_dim, use_bias=False, dtype=self.dtype, name="color0_dir"
-        )(ray_diff)
+        )(img_feat_rgb_dir)
         w = nn.relu(jnp.expand_dims(shared, V_AXIS) + pv)
         w = nn.relu(nn.Dense(1, dtype=self.dtype, name="color1")(w))
         w = nn.softmax(w.astype(jnp.float32), axis=V_AXIS)
         rgb = jnp.sum(
-            img_feat_rgb[..., -3:].astype(jnp.float32) * w, axis=V_AXIS
+            img_feat_rgb_dir[..., -7:-4].astype(jnp.float32) * w, axis=V_AXIS
         )
         return sigma, rgb

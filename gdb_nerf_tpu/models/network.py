@@ -295,27 +295,21 @@ class Network(nn.Module):
                 )
 
             # 5. Bundle NeRF over every sample.  The heads take the view
-            # axis right after batch — the encoder's native layout — and the
-            # encoding parts separately (no (V, ...)-sized payload/frd
-            # concats; see nerf_head.BundleNeRF).
+            # axis right after batch — the encoder's native layout.
             Hc = rb_c.bundle_dirs.shape[1]
             rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
-            ray_diff = enc.ray_diff.astype(cdtype)
+            payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
+            feat_rgb_dir = jnp.concatenate(
+                [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
+            )  # (B, V, Hc, W, S, F+3+4)
 
             if self.use_pallas and not train and self.is_initializing() is False:
                 from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
 
                 head_params = self.scope.get_variable("params", "nerf")
                 if head_params is None:
-                    sigma, feat = head(enc.vox_feat, rgbs_flat, enc.mip_feat,
-                                       ray_diff)
+                    sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
                 else:
-                    # The fused kernel consumes the torch-layout concats;
-                    # build them only on this opt-in path.
-                    payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
-                    feat_rgb_dir = jnp.concatenate(
-                        [enc.mip_feat, ray_diff], axis=-1
-                    )  # (B, V, Hc, W, S, F+3+4)
                     P = payload.shape[-1]
                     F4 = feat_rgb_dir.shape[-1]
                     vox_flat = enc.vox_feat.reshape(-1, enc.vox_feat.shape[-1])
@@ -327,8 +321,7 @@ class Network(nn.Module):
                     sigma = sigma.reshape(B, Hc, W, S)
                     feat = feat.reshape(B, Hc, W, S, -1)
             else:
-                sigma, feat = head(enc.vox_feat, rgbs_flat, enc.mip_feat,
-                                   ray_diff)
+                sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
 
             # 6. Composite per bundle (disparity accumulation when inv).
             sigma = maybe_shard(sigma, 1)

@@ -26,11 +26,11 @@ import jax.numpy as jnp
 from gdb_nerf_tpu.ops import camera
 from gdb_nerf_tpu.ops.grid_sample import (
     gather_patch_bilinear,
-    grid_sample_2d_packed,
     grid_sample_3d_packed,
     pack_bilinear_2d,
     pack_patch_2d,
     pack_trilinear_3d,
+    sample_2d_packed_pix,
 )
 from gdb_nerf_tpu.ops.mip import mip_texture_fetch_packed
 
@@ -247,7 +247,6 @@ def encode_samples(
       EncodedSamples.
     """
     V = src_images.shape[0]
-    H_orig, W_orig = src_images.shape[1:3]
     H, W, S = samples.z_vals.shape
     bsq = rb.bundle_dirs.shape[2]
     b_size = int(round(bsq**0.5))
@@ -307,19 +306,16 @@ def encode_samples(
             img_c[:, :, :, None, :] + KRoff * z[..., None, None]
         )  # (H, W, S, bsq, 3)
         zc = jnp.maximum(img[..., 2], 1e-6)
+        # index-space coords = pixel coords - 0.5 (align_corners=False).
+        cx = img[..., 0] / zc - 0.5
+        cy = img[..., 1] / zc - 0.5
         if member_patch:
-            # index-space coords = pixel coords - 0.5 (same convention as
-            # unnormalizing the [-1,1] grid below).
-            cx = img[..., 0] / zc - 0.5
-            cy = img[..., 1] / zc - 0.5
             rgbs = gather_patch_bilinear(
                 src_img, jnp.stack([cx, cy], axis=-1), ps=4
             )  # (H, W, S, bsq, 3)
         else:
-            gx = 2.0 * (img[..., 0] / zc) / W_orig - 1.0
-            gy = 2.0 * (img[..., 1] / zc) / H_orig - 1.0
-            rgbs = grid_sample_2d_packed(
-                src_img, jnp.stack([gx, gy], axis=-1), padding_mode="border"
+            rgbs = sample_2d_packed_pix(
+                src_img, cx, cy, padding_mode="border"
             )  # (H, W, S, bsq, 3)
 
         # Sphere projection radius -> fractional mip level.  ``dist`` is also

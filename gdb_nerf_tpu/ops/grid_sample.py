@@ -137,10 +137,31 @@ def grid_sample_2d_packed(
         grid_sample_2d).
     Returns: (..., C).
     """
+    H, W, _ = packed.shape
+    return sample_2d_packed_pix(
+        packed,
+        _unnormalize(grid[..., 0], W),
+        _unnormalize(grid[..., 1], H),
+        padding_mode,
+    )
+
+
+def sample_2d_packed_pix(
+    packed: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    padding_mode: str = "border",
+) -> jax.Array:
+    """grid_sample_2d_packed with continuous *index-space* coordinates.
+
+    Callers that already have pixel coordinates (projection math emits
+    ``img/z - 0.5``) skip the [-1,1] round-trip — two fewer full-size
+    elementwise passes per coordinate on the hot encode path.
+
+    Args: packed (H, W, 4C); x, y (...,) index-space coords. Returns (..., C).
+    """
     H, W, C4 = packed.shape
     C = C4 // 4
-    x = _unnormalize(grid[..., 0], W)
-    y = _unnormalize(grid[..., 1], H)
 
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, W - 1.0)

@@ -104,19 +104,6 @@ def fused_bundle_nerf(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if "weight0_dir" in params:
-        # The flax head splits the per-view weight matmul into mip-feature
-        # and ray-diff halves (nerf_head.py); the kernel consumes the
-        # concatenated frd, so merge the kernels back (rows stack in input
-        # order: [mip_feat, ray_diff]).
-        params = dict(params)
-        params["weight0_view"] = {
-            "kernel": jnp.concatenate(
-                [params["weight0_view"]["kernel"],
-                 params.pop("weight0_dir")["kernel"]],
-                axis=0,
-            )
-        }
     V, N, P = payload.shape
     vox_dim = vox.shape[-1]
     out_dim = P + params["feat_head"]["kernel"].shape[-1]

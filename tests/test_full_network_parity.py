@@ -950,8 +950,7 @@ def test_stage_nerf_parity(rng):
     c.dense(f"{t}.sigma.0", f"{j}/sigma")
     c.dense_split(f"{t}.color.0", [
         (f"{j}/color0_shared", 64 + voxel_dim + 16, True),
-        (f"{j}/color0_view", F, False),
-        (f"{j}/color0_dir", 4, False),
+        (f"{j}/color0_view", F + 4, False),
     ])
     c.dense(f"{t}.color.2", f"{j}/color1")
 
@@ -959,12 +958,9 @@ def test_stage_nerf_parity(rng):
 
     net = StageNeRF(hid_dim=64)
     variables = {"params": c.params["depth_net"]["stage_nerf_0"]}
-    # ours takes the view axis right after batch and the feat / ray-diff
-    # halves separately: (B, V, N, F) + (B, V, N, 4)
-    ifrd_v = ifrd.transpose(0, 2, 1, 3)
+    # ours takes the view axis right after batch: (B, V, N, F+4)
     sigma, rgb = net.apply(
-        variables, jnp.asarray(vox), jnp.asarray(ifrd_v[..., :-4]),
-        jnp.asarray(ifrd_v[..., -4:])
+        variables, jnp.asarray(vox), jnp.asarray(ifrd.transpose(0, 2, 1, 3))
     )
     np.testing.assert_allclose(
         np.asarray(sigma), sigma_t.numpy(), rtol=1e-3, atol=1e-5

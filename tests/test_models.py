@@ -63,19 +63,16 @@ def test_bundle_nerf_shapes_and_view_invariance(rng):
     B, N, S, V, F, P, vox = 2, 6, 4, 3, 16 + 3, 12 + 16 + 3, 8
     head = BundleNeRF(hid_dim=32, voxel_dim=vox)
     vox_feat = jnp.array(rng.standard_normal((B, N, S, vox)).astype(np.float32))
-    rgbs = jnp.array(rng.standard_normal((B, V, N, S, P - F)).astype(np.float32))
-    mip = jnp.array(rng.standard_normal((B, V, N, S, F)).astype(np.float32))
-    rd = jnp.array(rng.standard_normal((B, V, N, S, 4)).astype(np.float32))
-    vars_ = head.init(jax.random.PRNGKey(0), vox_feat, rgbs, mip, rd)
-    sigma, feat = head.apply(vars_, vox_feat, rgbs, mip, rd)
+    payload = jnp.array(rng.standard_normal((B, V, N, S, P)).astype(np.float32))
+    frd = jnp.array(rng.standard_normal((B, V, N, S, F + 4)).astype(np.float32))
+    vars_ = head.init(jax.random.PRNGKey(0), vox_feat, payload, frd)
+    sigma, feat = head.apply(vars_, vox_feat, payload, frd)
     assert sigma.shape == (B, N, S)
     assert feat.shape == (B, N, S, P + vox)
     assert np.isfinite(np.asarray(sigma)).all()
     # Permuting the view axis must not change the output (softmax pooling).
     perm = [2, 0, 1]
-    sigma_p, feat_p = head.apply(
-        vars_, vox_feat, rgbs[:, perm], mip[:, perm], rd[:, perm]
-    )
+    sigma_p, feat_p = head.apply(vars_, vox_feat, payload[:, perm], frd[:, perm])
     np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_p), atol=2e-5)
     np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_p), atol=2e-5)
 
@@ -84,12 +81,11 @@ def test_stage_nerf_shapes(rng):
     B, N, S, V = 2, 10, 8, 2
     head = StageNeRF(hid_dim=32)
     vox = jnp.array(rng.standard_normal((B, N, S, 8)).astype(np.float32))
-    ifr = jnp.array(
-        rng.standard_normal((B, V, N, S, 32 + 3)).astype(np.float32)
+    ifd = jnp.array(
+        rng.standard_normal((B, V, N, S, 32 + 3 + 4)).astype(np.float32)
     )
-    rd = jnp.array(rng.standard_normal((B, V, N, S, 4)).astype(np.float32))
-    vars_ = head.init(jax.random.PRNGKey(0), vox, ifr, rd)
-    sigma, rgb = head.apply(vars_, vox, ifr, rd)
+    vars_ = head.init(jax.random.PRNGKey(0), vox, ifd)
+    sigma, rgb = head.apply(vars_, vox, ifd)
     assert sigma.shape == (B, N, S) and rgb.shape == (B, N, S, 3)
 
 

@@ -13,27 +13,16 @@ from gdb_nerf_tpu.models.nerf_head import BundleNeRF
 from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
 
 
-def _head_inputs(rng, V, N, P, F4, vox_dim):
-    """The flax head takes (rgbs, mip, rd) separately; the fused kernel the
-    torch-layout concats payload=[rgbs, mip] and frd=[mip, rd]."""
-    F = F4 - 4
-    vox = jnp.array(rng.standard_normal((1, N, vox_dim)).astype(np.float32))
-    rgbs = jnp.array(rng.standard_normal((1, V, N, P - F)).astype(np.float32))
-    mip = jnp.array(rng.standard_normal((1, V, N, F)).astype(np.float32))
-    rd = jnp.array(rng.standard_normal((1, V, N, 4)).astype(np.float32))
-    payload = jnp.concatenate([rgbs, mip], axis=-1)
-    frd = jnp.concatenate([mip, rd], axis=-1)
-    return vox, payload, frd, rgbs, mip, rd
-
-
 @pytest.mark.parametrize("V", [2, 3])
 def test_fused_matches_flax(rng, V):
     N, P, F4, vox_dim = 700, 31, 23, 8  # N deliberately not a tile multiple
     head = BundleNeRF(hid_dim=64, voxel_dim=vox_dim)
-    vox, payload, frd, rgbs, mip, rd = _head_inputs(rng, V, N, P, F4, vox_dim)
-    variables = head.init(jax.random.PRNGKey(0), vox, rgbs, mip, rd)
+    vox = jnp.array(rng.standard_normal((1, N, vox_dim)).astype(np.float32))
+    payload = jnp.array(rng.standard_normal((1, V, N, P)).astype(np.float32))
+    frd = jnp.array(rng.standard_normal((1, V, N, F4)).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), vox, payload, frd)
 
-    sigma_ref, feat_ref = head.apply(variables, vox, rgbs, mip, rd)
+    sigma_ref, feat_ref = head.apply(variables, vox, payload, frd)
     sigma, feat = fused_bundle_nerf(
         variables["params"], vox[0], payload[0], frd[0], interpret=True
     )
@@ -50,9 +39,11 @@ def test_fused_handles_exact_tile_multiple(rng):
 
     N, P, F4, vox_dim, V = TILE * 2, 31, 23, 8, 3
     head = BundleNeRF(hid_dim=64, voxel_dim=vox_dim)
-    vox, payload, frd, rgbs, mip, rd = _head_inputs(rng, V, N, P, F4, vox_dim)
-    variables = head.init(jax.random.PRNGKey(0), vox, rgbs, mip, rd)
-    sigma_ref, feat_ref = head.apply(variables, vox, rgbs, mip, rd)
+    vox = jnp.array(rng.standard_normal((1, N, vox_dim)).astype(np.float32))
+    payload = jnp.array(rng.standard_normal((1, V, N, P)).astype(np.float32))
+    frd = jnp.array(rng.standard_normal((1, V, N, F4)).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), vox, payload, frd)
+    sigma_ref, feat_ref = head.apply(variables, vox, payload, frd)
     sigma, feat = fused_bundle_nerf(
         variables["params"], vox[0], payload[0], frd[0], interpret=True
     )

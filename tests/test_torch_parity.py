@@ -242,8 +242,7 @@ def test_bundle_nerf_parity(rng):
     c.dense("nerf.sigma.0", "nerf/sigma")
     c.dense_split("nerf.weight.0", [
         ("nerf/weight0_shared", 64 + voxel_dim + 16, True),
-        ("nerf/weight0_view", F, False),
-        ("nerf/weight0_dir", 4, False),
+        ("nerf/weight0_view", F + 4, False),
     ])
     c.dense("nerf.weight.2", "nerf/weight1")
     c.dense("nerf.feat_head.0", "nerf/feat_head")
@@ -252,14 +251,14 @@ def test_bundle_nerf_parity(rng):
 
     net = BundleNeRF(hid_dim=64, voxel_dim=voxel_dim)
     variables = {"params": c.params["nerf"]}
-    # ours: batch leading, view axis second: rgbs (1, V, N, P), mip_feat
-    # (1, V, N, F), ray_diff (1, V, N, 4), vox (1, N, vox).
+    # ours: batch leading, view axis second: payload (1, V, N, P+F),
+    # frd (1, V, N, F+4), vox (1, N, vox).
+    payload_ours = np.concatenate([payload_extra, frd[..., :-4]], axis=-1)
     sigma, feat = net.apply(
         variables,
         jnp.asarray(vox)[None],
-        jnp.asarray(payload_extra)[None],
-        jnp.asarray(frd[..., :-4])[None],
-        jnp.asarray(frd[..., -4:])[None],
+        jnp.asarray(payload_ours)[None],
+        jnp.asarray(frd)[None],
     )
     np.testing.assert_allclose(
         np.asarray(sigma)[0], sigma_t.numpy(), rtol=1e-3, atol=1e-5

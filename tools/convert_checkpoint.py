@@ -167,8 +167,7 @@ def convert(
     # The aggregation/weight first layers are split (see models/nerf_head.py):
     # W @ cat([shared, per-view]) == W_s @ shared + W_v @ per-view.
     def nerf_head(t: str, j: str, feat_dim: int, voxel_dim: int, hid: int,
-                  weight_name: str, j0_shared: str, j0_view: str,
-                  j0_dir: str) -> None:
+                  weight_name: str, j0_shared: str, j0_view: str) -> None:
         if f"{t}.view_fc.0.weight" in c.sd:
             c.dense(f"{t}.view_fc.0", f"{j}/agg/view_fc")
         F = feat_dim + 3
@@ -181,12 +180,9 @@ def convert(
         c.dense(f"{t}.fc.0", f"{j}/agg/fc")
         c.dense(f"{t}.lr0.0", f"{j}/lr0")
         c.dense(f"{t}.sigma.0", f"{j}/sigma")
-        # The per-view half is further split feat-vs-raydiff so the jax head
-        # never materializes the cat([mip_feat, ray_diff]) tensor.
         c.dense_split(f"{t}.{weight_name}.0", [
             (f"{j}/{j0_shared}", hid + voxel_dim + 16, True),
-            (f"{j}/{j0_view}", F, False),
-            (f"{j}/{j0_dir}", 4, False),
+            (f"{j}/{j0_view}", F + 4, False),
         ])
 
     for s in range(num_stages - 1):
@@ -194,15 +190,13 @@ def convert(
         j = f"depth_net/stage_nerf_{s}"
         nerf_head(t, j, feat_dim=stage_feat_dims[s], voxel_dim=voxel_dim,
                   hid=hid_dim, weight_name="color",
-                  j0_shared="color0_shared", j0_view="color0_view",
-                  j0_dir="color0_dir")
+                  j0_shared="color0_shared", j0_view="color0_view")
         c.dense(f"{t}.color.2", f"{j}/color1")
 
     # --- Bundle NeRF (nerf.py:6-115) ---
     nerf_head("nerf", "nerf", feat_dim=bundle_feat_dim, voxel_dim=voxel_dim,
               hid=hid_dim, weight_name="weight",
-              j0_shared="weight0_shared", j0_view="weight0_view",
-              j0_dir="weight0_dir")
+              j0_shared="weight0_shared", j0_view="weight0_view")
     c.dense("nerf.weight.2", "nerf/weight1")
     c.dense("nerf.feat_head.0", "nerf/feat_head")
 

@@ -196,20 +196,21 @@ def main():
     # --- NeRF head + composite ---
     head = BundleNeRF(64, 8, True, dt)
     bsq = b * b
-    rgbs_flat = enc.rgbs.reshape(V, Hb, Wb, S, bsq * 3)[None]
-    mipf = enc.mip_feat[None]
-    rdiff = enc.ray_diff.astype(dt)[None]
+    payload = jnp.concatenate(
+        [enc.rgbs.reshape(V, Hb, Wb, S, bsq * 3), enc.mip_feat], axis=-1
+    )[None]  # (1, V, Hb, Wb, S, P)
+    frd = jnp.concatenate([enc.mip_feat, enc.ray_diff], axis=-1)[None]
     vox = enc.vox_feat[None]
-    hv = head.init(key, vox, rgbs_flat, mipf, rdiff)
+    hv = head.init(key, vox, payload, frd)
 
-    def nerf_comp(v, vox, rg, mf, rd, valid, z):
-        sigma, feat = head.apply(v, vox, rg, mf, rd)
+    def nerf_comp(v, vox, pl, fr, valid, z):
+        sigma, feat = head.apply(v, vox, pl, fr)
         w = render.weights_from_sigma(sigma, valid)
         return render.composite(w, feat, z)
 
     f_nerf = jax.jit(nerf_comp)
     (fmap, dmap, op), _ = timed(
-        f_nerf, hv, vox, rgbs_flat, mipf, rdiff, smp.valid[None], smp.z_vals[None],
+        f_nerf, hv, vox, payload, frd, smp.valid[None], smp.z_vals[None],
         iters=args.iters, name="NeRF head + composite",
     )
 
