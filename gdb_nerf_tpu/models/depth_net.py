@@ -28,6 +28,7 @@ from flax import linen as nn
 from gdb_nerf_tpu.models.cost_reg_net import CostRegNet, CostRegNetSmall
 from gdb_nerf_tpu.models.nerf_head import StageNeRF
 from gdb_nerf_tpu.ops import camera, cost_volume
+from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
 from gdb_nerf_tpu.ops.resize import resize_bilinear
 
@@ -91,7 +92,9 @@ def _stage_sample_features(
         dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
         return jnp.concatenate([feats, direction, dot], axis=-1)
 
-    per_view_feats = jax.vmap(per_view)(img_feat_rgb, src_exts, src_ints_stage)
+    per_view_feats = unrolled_vmap(per_view, (0, 0, 0))(
+        img_feat_rgb, src_exts, src_ints_stage
+    )
     # (V, num_rays, S, F+4); the stage NeRF takes the view axis after batch.
     return vox_feat, per_view_feats
 
@@ -166,14 +169,15 @@ class DepthNet(nn.Module):
             D = self.num_depth[idx]
 
             dr = jnp.broadcast_to(depth_range, (B, 2, Hi, Wi))
-            depth_values = jax.vmap(
-                lambda nf: cost_volume.get_depth_values(nf, D, inv)
+            depth_values = unrolled_vmap(
+                lambda nf: cost_volume.get_depth_values(nf, D, inv), (0,)
             )(dr)  # (B, D, Hi, Wi) hypothesis values (disparity if inv)
 
-            volume = jax.vmap(
+            volume = unrolled_vmap(
                 lambda f, se, si, te, ti, dv: cost_volume.build_cost_volume(
                     f, se, si, te, ti, dv, inv
-                )
+                ),
+                (0, 0, 0, 0, 0, 0),
             )(
                 feats.astype(self.dtype),
                 src_exts,
@@ -195,10 +199,11 @@ class DepthNet(nn.Module):
             )
             feat_volume, depth_prob = reg(volume, train)
 
-            depth, ci = jax.vmap(
+            depth, ci = unrolled_vmap(
                 lambda dv, p: cost_volume.depth_regression(
                     dv, p, self.ci_scales[idx], inv
-                )
+                ),
+                (0, 0),
             )(depth_values, depth_prob.astype(jnp.float32))
 
             # Metric hypothesis range, ordered [near, far].
@@ -304,8 +309,12 @@ class DepthNet(nn.Module):
             )  # (N, S, 3)
             return world, uvd, z_vals
 
-        world, uvd, z_vals = jax.vmap(geometry)(tar_exts, tar_ints_stage, ci, vol_range)
-        vox_feat, img_dir = jax.vmap(_stage_sample_features)(
+        world, uvd, z_vals = unrolled_vmap(geometry, (0, 0, 0, 0))(
+            tar_exts, tar_ints_stage, ci, vol_range
+        )
+        vox_feat, img_dir = unrolled_vmap(
+            _stage_sample_features, (0, 0, 0, 0, 0, 0, 0)
+        )(
             feat_volume, img_feat_rgb, world, uvd, src_exts, src_ints_stage, tar_exts
         )  # (B, N, S, C), (B, N, S, V, F+4)
 

@@ -26,6 +26,7 @@ from gdb_nerf_tpu.models.depth_net import DepthNet
 from gdb_nerf_tpu.models.feature_net import FeatureNet
 from gdb_nerf_tpu.models.nerf_head import BundleNeRF
 from gdb_nerf_tpu.ops import bundles, mip, render
+from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.resize import resize_bilinear, resize_nearest
 
 
@@ -210,10 +211,11 @@ class Network(nn.Module):
             spec[h_axis] = self.spatial_axis
             return jax.lax.with_sharding_constraint(t, P(*spec))
 
-        rb = jax.vmap(
+        rb = unrolled_vmap(
             lambda te, ti, n, f: bundles.make_ray_bundles(
                 te, ti, (H_orig, W_orig), n, f, b
-            )
+            ),
+            (0, 0, 0, 0),
         )(tar_exts, tar_ints, near_far[:, 0], near_far[:, 1])
 
         inv = bool(self.mvs_inv_depth[-1])
@@ -262,7 +264,7 @@ class Network(nn.Module):
                     rb_c.near,
                     rb_c.far,
                 )
-            samples = jax.vmap(
+            samples = unrolled_vmap(
                 lambda r, dr, vr: bundles.sample_bundles(
                     r,
                     dr,
@@ -271,16 +273,17 @@ class Network(nn.Module):
                     self.global_num_depth,
                     inv,
                     self.is_adaptive,
-                )
+                ),
+                (0, 0, 0),
             )(rb_c, dr_c, vr_c)
             if sharded:
                 samples = bundles.BundleSamples(
                     *(shard_rows(t, 1) for t in samples)
                 )
 
-            enc = jax.vmap(
+            enc = unrolled_vmap(
                 bundles.encode_samples,
-                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
+                (0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
             )(rb_c, samples, src_images.astype(cdtype), img_feat, packed,
               pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
               self.max_mipmap_level, self.member_patch)
