@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.resize import pixel_shuffle
 
 
@@ -76,7 +77,7 @@ class Decoder(nn.Module):
         h = shallow + h
         for _ in range(int(round(math.log2(self.upscale_factor)))):
             h = nn.Conv(4 * self.num_feats, (3, 3), padding=1, dtype=self.dtype)(h)
-            h = jax.vmap(lambda t: pixel_shuffle(t, 2))(h)
+            h = unrolled_vmap(lambda t: pixel_shuffle(t, 2), (0,))(h)
         return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(
             h.astype(jnp.float32)
         )

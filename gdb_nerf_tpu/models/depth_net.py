@@ -225,12 +225,14 @@ class DepthNet(nn.Module):
                     img_feat_rgb = jnp.concatenate(
                         [
                             feats,
-                            jax.vmap(
-                                jax.vmap(
+                            unrolled_vmap(
+                                unrolled_vmap(
                                     lambda im: resize_bilinear(
                                         im, feats.shape[2:4]
-                                    )
-                                )
+                                    ),
+                                    (0,),
+                                ),
+                                (0,),
                             )(src_images),
                         ],
                         axis=-1,
@@ -251,10 +253,11 @@ class DepthNet(nn.Module):
 
                 up = self.vol_scales[idx + 1] / self.vol_scales[idx]
                 new_hw = (int(Hi * up), int(Wi * up))
-                depth_range = jax.vmap(
+                depth_range = unrolled_vmap(
                     lambda d: jnp.moveaxis(
                         resize_bilinear(jnp.moveaxis(d, 0, -1), new_hw), -1, 0
-                    )
+                    ),
+                    (0,),
                 )(depth_range)
 
         return out

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gdb_nerf_tpu.models.layers import ConvBlock
+from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.resize import upsample_nearest_2x
 
 
@@ -46,7 +47,9 @@ class FeatureNet(nn.Module):
 
         out0 = nn.Conv(self.out_channels[0], (1, 1), dtype=self.dtype)(c2)
 
-        up = jax.vmap(upsample_nearest_2x)
+        # Unrolled over the (B*V <= 12) batch: vmap over small leading axes
+        # blocks producer fusion on this toolchain (see ops/loops.py).
+        up = unrolled_vmap(upsample_nearest_2x, (0,))
         intra = up(c2) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype)(c1)
         out1 = nn.Conv(
             self.out_channels[1], (3, 3), padding=1, use_bias=False,

@@ -191,15 +191,18 @@ class Network(nn.Module):
 
         # 3. Bundle grid and per-bundle depth windows.
         H, W = H_orig // b, W_orig // b
-        resize2 = jax.vmap(
+        resize2 = unrolled_vmap(
             lambda B2: jnp.moveaxis(
                 resize_bilinear(jnp.moveaxis(B2, 0, -1), (H, W)), -1, 0
-            )
+            ),
+            (0,),
         )
         if depth_range.shape[2:] != (H, W):
             depth_range = resize2(depth_range)
             vol_range = resize2(vol_range)
-            mvs_depth = jax.vmap(lambda d: resize_nearest(d, (H, W)))(mvs_depth)
+            mvs_depth = unrolled_vmap(
+                lambda d: resize_nearest(d, (H, W)), (0,)
+            )(mvs_depth)
 
         def shard_rows(t, h_axis: int):
             """Constrain t to be sharded over image rows on spatial_axis."""
@@ -224,12 +227,12 @@ class Network(nn.Module):
         # (shared by all row chunks).
         img_feat = ms_feats[self.feat_level]
         if img_feat.shape[2:4] != (H, W):
-            img_feat = jax.vmap(jax.vmap(lambda f: resize_bilinear(f, (H, W))))(
-                img_feat
-            )
-        src_small = jax.vmap(jax.vmap(lambda im: resize_bilinear(im, (H, W))))(
-            src_images
-        )
+            img_feat = unrolled_vmap(
+                unrolled_vmap(lambda f: resize_bilinear(f, (H, W)), (0,)), (0,)
+            )(img_feat)
+        src_small = unrolled_vmap(
+            unrolled_vmap(lambda im: resize_bilinear(im, (H, W)), (0,)), (0,)
+        )(src_images)
         img_feat = jnp.concatenate(
             [img_feat, src_small.astype(img_feat.dtype)], axis=-1
         ).astype(cdtype)  # (B, V, H, W, F+3)
@@ -397,7 +400,9 @@ class Network(nn.Module):
             name="upsampler",
         )(feat_map[..., bsq * 3 :])
 
-        up_full = jax.vmap(lambda d: resize_bilinear(d[..., None], (H_orig, W_orig))[..., 0])
+        up_full = unrolled_vmap(
+            lambda d: resize_bilinear(d[..., None], (H_orig, W_orig))[..., 0], (0,)
+        )
         nerf_depth = up_full(nerf_depth)
         opacity = up_full(opacity)
 
