@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gdb_nerf_tpu.ops import camera
+from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.grid_sample import (
     gather_patch_bilinear,
     grid_sample_3d_packed,
@@ -357,24 +358,18 @@ def encode_samples(
         src_packed = pack_patch_2d(src_images, 4)  # (V, H, W, 48)
     else:
         src_packed = pack_bilinear_2d(src_images)  # (V, H, W, 12)
-    # Unrolled python loop over views instead of vmap — the same fusion win
-    # as build_cost_volume: per-view coordinate/interp chains fuse
+    # Unrolled loop over views instead of vmap — the same fusion win as
+    # build_cost_volume: per-view coordinate/interp chains fuse
     # independently instead of through batched intermediates (V is 2-4 in
     # every shipped config).
-    outs = [
-        per_view(
-            src_packed[v],
-            packed_pyramid[v],
-            src_exts[v],
-            src_ints[v],
-            src_ints_scaled[v],
-            src_cam_xyz[v],
-            src_pix_radius[v],
-        )
-        for v in range(V)
-    ]
-    rgbs, mip_feat, ray_diff = (
-        jnp.stack([o[i] for o in outs]) for i in range(3)
+    rgbs, mip_feat, ray_diff = unrolled_vmap(per_view, (0,) * 7)(
+        src_packed,
+        packed_pyramid,
+        src_exts,
+        src_ints,
+        src_ints_scaled,
+        src_cam_xyz,
+        src_pix_radius,
     )
 
     return EncodedSamples(rgbs, mip_feat, ray_diff, vox_feat)

@@ -258,9 +258,13 @@ def gather_patch_bilinear(
     wx = wx.astype(packed.dtype)
     wy = wy.astype(packed.dtype)
 
-    # (..., K, ps) x (..., ps_y, ps_x, C) -> contract y then x on the VPU.
-    py = jnp.einsum("...ky,...yxc->...kxc", wy, patch)
-    return jnp.einsum("...kx,...kxc->...kc", wx, py)
+    # (..., K, ps) x (..., ps_y, ps_x, C) -> contract y then x.  HIGHEST
+    # precision: these contractions ARE the bilinear warp interpolation
+    # (CLAUDE.md geometry rule — default TPU matmul precision truncates
+    # fp32 operands to bf16 inside the dot).
+    hi = jax.lax.Precision.HIGHEST
+    py = jnp.einsum("...ky,...yxc->...kxc", wy, patch, precision=hi)
+    return jnp.einsum("...kx,...kxc->...kc", wx, py, precision=hi)
 
 
 def pack_trilinear_3d(vol: jax.Array) -> jax.Array:

@@ -46,6 +46,13 @@ def config_from_env(env=None) -> dict | None:
             num_processes=int(env["WORLD_SIZE"]),
             process_id=int(env.get("RANK", "0")),
         )
+    # Cloud TPU pod slice: the TPU runtime exports the worker list; more
+    # than one worker means jax.distributed.initialize() with NO args will
+    # autodetect coordinator/process_id from the TPU metadata.  {} is the
+    # "autodetect" sentinel consumed by maybe_initialize_distributed.
+    workers = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([w for w in workers.split(",") if w.strip()]) > 1:
+        return {}
     return None
 
 

@@ -53,6 +53,17 @@ def force_sync(tree) -> None:
             return
 
 
+def force_sync_all(tree) -> None:
+    """force_sync for trees of INDEPENDENT arrays (e.g. a just-transferred
+    batch): reads one element of EVERY leaf.  Independent host->device
+    transfers have no shared completion event, so the one-leaf shortcut of
+    ``force_sync`` does not cover them.  Each read costs a tunnel RTT —
+    use outside timed regions only."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+
 class Renderer:
     """Holds (network, variables) and runs jit-compiled eval forwards."""
 

@@ -77,7 +77,12 @@ class Recorder:
             return
         for k, v in image_stats.items():
             img = np.asarray(v, dtype=np.float32)
-            if img.ndim == 4:  # batched: take the first element
+            if img.ndim == 4:  # batched HWC: take the first element
+                img = img[0]
+            if img.ndim == 3 and img.shape[-1] not in (1, 3, 4):
+                # Batched 2-D map, e.g. (B, H, W) nerf_depth from the
+                # network — take the first element, fall through to the
+                # grayscale normalization below.
                 img = img[0]
             if img.ndim == 2:  # depth/opacity map -> normalized grayscale
                 lo, hi = float(img.min()), float(img.max())

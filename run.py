@@ -55,7 +55,7 @@ def run_network(cfg) -> None:
     import tqdm
 
     from gdb_nerf_tpu.datasets import make_data_loader
-    from gdb_nerf_tpu.runtime.renderer import force_sync, to_device
+    from gdb_nerf_tpu.runtime.renderer import force_sync, force_sync_all, to_device
 
     renderer = _build_renderer(cfg)
     loader = make_data_loader(cfg, is_train=False)
@@ -73,7 +73,7 @@ def run_network(cfg) -> None:
         # reference protocol (to_cuda before the synchronize/timer bracket,
         # /root/reference/run.py:31-40).
         dev_batch = to_device(batch)
-        force_sync(dev_batch)
+        force_sync_all(dev_batch)  # independent transfers: sync every leaf
         start = time.time()
         renderer.render_prepared_blocking(dev_batch)
         total_time += time.time() - start
@@ -96,7 +96,7 @@ def run_evaluate(cfg) -> None:
 
     from gdb_nerf_tpu.datasets import make_data_loader
     from gdb_nerf_tpu.runtime import make_evaluator
-    from gdb_nerf_tpu.runtime.renderer import force_sync, to_device
+    from gdb_nerf_tpu.runtime.renderer import force_sync, force_sync_all, to_device
 
     renderer = _build_renderer(cfg)
     loader = make_data_loader(cfg, is_train=False)
@@ -107,7 +107,7 @@ def run_evaluate(cfg) -> None:
         # synchronize/timer bracket, /root/reference/run.py:54-66).  On the
         # tunneled dev TPU the upload RTT (~56 ms) would otherwise dominate.
         dev_batch = to_device(batch)
-        force_sync(dev_batch)
+        force_sync_all(dev_batch)  # independent transfers: sync every leaf
         start = time.time()
         ret, _ = renderer.render_prepared_blocking(dev_batch)
         net_time.append(time.time() - start)

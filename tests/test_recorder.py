@@ -45,6 +45,12 @@ def test_recorder_image_normalization(tmp_path, rng):
     # batched rgb: first element taken, clamped to [0, 1]
     assert rec.image_stats["rgb"].shape == (6, 7, 3)
     assert rec.image_stats["rgb"].max() == 1.0
+    # batched 2-D map, the network's (B, H, W) nerf_depth: first element
+    # taken THEN normalized as grayscale (regression: was logged as an
+    # H=1 x W x C=W "image").
+    rec.update_image_stats({"nd": rng.uniform(2.5, 6.0, (2, 6, 7))})
+    assert rec.image_stats["nd"].shape == (6, 7, 1)
+    assert 0.0 <= rec.image_stats["nd"].min() <= rec.image_stats["nd"].max() <= 1.0
 
 
 def test_recorder_state_roundtrip(tmp_path):

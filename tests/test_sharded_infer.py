@@ -98,6 +98,11 @@ def test_multihost_env_parsing():
     )
     assert c == dict(coordinator_address="h:1", num_processes=2, process_id=1)
 
+    # Cloud TPU pod slice: multi-worker hostname list -> {} sentinel
+    # (no-arg jax.distributed.initialize() autodetect); single worker -> None.
+    assert config_from_env({"TPU_WORKER_HOSTNAMES": "w0,w1,w2,w3"}) == {}
+    assert config_from_env({"TPU_WORKER_HOSTNAMES": "w0"}) is None
+
 
 def test_per_host_loader_shards_cover_dataset(rng):
     """Fake a 2-process run: each host's loader must see a disjoint,

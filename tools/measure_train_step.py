@@ -1,0 +1,88 @@
+"""Honest training-step latency on the current device (chained loop).
+
+Jits the full sharded train step (forward incl. stage NeRFs, loss,
+backward, optimizer update, BN stat update) on the dtu_pretrain config
+shapes with a synthetic batch, and times it the same way bench.py times
+inference: iterations chained on-device, one host read.
+
+Usage: python tools/measure_train_step.py [--batch B] [--size H W]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--size", type=int, nargs=2, default=[256, 320],
+                    help="training crop (the pretrain config trains at "
+                    "512x640 input scale 0.5 -> 256x320)")
+    ap.add_argument("--n", type=int, default=4)
+    args = ap.parse_args()
+
+    from gdb_nerf_tpu.runtime import cache
+
+    cache.enable()
+    import jax
+
+    from gdb_nerf_tpu.config import load_cfg
+    from gdb_nerf_tpu.datasets import make_data_loader
+    from gdb_nerf_tpu.runtime import make_network
+    from gdb_nerf_tpu.runtime.renderer import force_sync
+    from gdb_nerf_tpu.train.optim import make_optimizer
+    from gdb_nerf_tpu.train.step import (
+        init_train_state,
+        make_mesh,
+        make_train_step,
+        to_device_train,
+    )
+
+    H, W = args.size
+    cfg = load_cfg(
+        "configs/dtu_pretrain.yaml",
+        ["synthetic", "True", "train.batch_size", str(args.batch),
+         "synthetic_hw", f"[{H},{W}]"],
+    )
+    print(f"device: {jax.devices()[0]}  B={args.batch}  {H}x{W}", flush=True)
+
+    network = make_network(cfg)
+    loader = make_data_loader(cfg, is_train=True)
+    batch = to_device_train(next(iter(loader)))
+
+    tx = make_optimizer(cfg)
+    state = init_train_state(network, tx, batch)
+    mesh = make_mesh(1)
+    step_fn = make_train_step(
+        network, tx, list(cfg.mvs.loss_weight), mesh, use_perceptual=False
+    )
+
+    state, metrics = step_fn(state, batch)  # compile + warmup
+    force_sync(metrics["loss"])
+    print(f"warm loss: {float(metrics['loss']):.4f}", flush=True)
+
+    # The step donates its input state, so keep evolving one state chain —
+    # each round's steps queue asynchronously and the force_sync at the end
+    # measures device time (dispatch overlaps the 50 ms tunnel RTT).
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(args.n):
+            state, m = step_fn(state, batch)
+        force_sync(m["loss"])
+        best = min(best, (time.time() - t0) / args.n)
+    print(
+        f"train step: {best * 1e3:.1f} ms  ({1.0 / best:.2f} steps/s, "
+        f"{args.batch / best:.2f} samples/s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
