@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--cfg", default="configs/dtu_eval.yaml")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--set", nargs="*", default=[],
+                    help="extra dotted config overrides, e.g. "
+                    "--set synthetic_hw [800,800]")
     args = ap.parse_args()
 
     from gdb_nerf_tpu.runtime import cache
@@ -39,7 +42,7 @@ def main():
     cfg = load_cfg(
         args.cfg,
         ["synthetic", "True", "compute_dtype", args.dtype,
-         "use_pallas", str(args.pallas)],
+         "use_pallas", str(args.pallas)] + list(args.set),
     )
     network = make_network(cfg)
     loader = make_data_loader(cfg, is_train=False)
@@ -64,9 +67,10 @@ def main():
         t0 = time.time()
         force_sync(g(args.n))
         best = min(best, (time.time() - t0) / args.n)
+    H, W = batch["src_views"]["rgb"].shape[2:4]
     print(
         f"dtype={args.dtype} pallas={args.pallas}: {best*1000:.1f} ms/frame "
-        f"({1.0/best:.2f} fps) at 512x640, chained n={args.n}"
+        f"({1.0/best:.2f} fps) at {H}x{W}, chained n={args.n}"
     )
 
 
