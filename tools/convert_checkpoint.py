@@ -129,6 +129,7 @@ def convert(
     bundle_feat_dim: int = 16,
     voxel_dim: int = 8,
     hid_dim: int = 64,
+    strict: bool = False,
 ) -> dict:
     c = Converter(sd)
 
@@ -222,9 +223,10 @@ def convert(
 
     unused = set(c.sd) - c.used
     if unused:
-        print(f"WARNING: {len(unused)} torch tensors unmapped:")
-        for k in sorted(unused):
-            print("  ", k)
+        msg = f"{len(unused)} torch tensors unmapped: {sorted(unused)[:20]}"
+        if strict:
+            raise ValueError(msg)
+        print("WARNING:", msg)
     return {"params": c.params, "batch_stats": c.stats}
 
 
