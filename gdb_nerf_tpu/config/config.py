@@ -56,6 +56,32 @@ def dotdictify(d: dict) -> SimpleNamespace:
     return ns
 
 
+def _substitute_git_placeholders(exp_name: str) -> str:
+    """Replace 'gitbranch'/'gitcommit' tokens in exp_name with the current
+    branch / commit (reference configs/config.py:95-96).  The reference uses
+    ``git describe --all`` with the 6-char ref-type prefix ('heads/') stripped
+    and ``git describe --tags --always``; a failed git call substitutes the
+    empty string, exactly like ``os.popen`` yielding no output."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        try:
+            out = subprocess.run(
+                ["git", *args], capture_output=True, text=True, timeout=10
+            ).stdout
+        except (OSError, subprocess.TimeoutExpired):
+            out = ""
+        return out.strip().splitlines()[0].strip() if out.strip() else ""
+
+    if "gitbranch" in exp_name:
+        exp_name = exp_name.replace("gitbranch", _git("describe", "--all")[6:])
+    if "gitcommit" in exp_name:
+        exp_name = exp_name.replace(
+            "gitcommit", _git("describe", "--tags", "--always")
+        )
+    return exp_name
+
+
 def _workspace() -> str:
     ws = os.environ.get("workspace")
     if not ws:
@@ -197,6 +223,7 @@ def load_cfg(cfg_file: str, opts: list[str] | None = None) -> SimpleNamespace:
 
     if cfg.get("exp_name_tag"):
         cfg["exp_name"] += "_" + cfg["exp_name_tag"]
+    cfg["exp_name"] = _substitute_git_placeholders(cfg["exp_name"])
 
     ws = cfg["workspace"]
     cfg["trained_model_dir"] = os.path.join(

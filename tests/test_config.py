@@ -63,3 +63,25 @@ def test_llff_eval_protocol():
     assert cfg.test.eval_center is True
     assert cfg.nerf.reweighting is True
     assert cfg.test_dataset.input_h_w == [640, 960]
+
+
+def test_git_placeholder_substitution():
+    # reference configs/config.py:95-96: 'gitbranch'/'gitcommit' tokens in
+    # exp_name resolve to the current branch / commit describe.
+    cfg = _cfg("dtu_eval.yaml", ["exp_name", "'exp_gitcommit'"])
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "describe", "--tags", "--always"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+    assert cfg.exp_name == f"exp_{commit}" and commit
+
+    cfg = _cfg("dtu_eval.yaml", ["exp_name", "'e_gitbranch'"])
+    assert "gitbranch" not in cfg.exp_name
+
+
+def test_pretrain_warm_start_default():
+    # reference dtu_pretrain.yaml:55 ships train.pretrain='pretrained'.
+    cfg = _cfg("dtu_pretrain.yaml")
+    assert cfg.train.pretrain == "pretrained"
