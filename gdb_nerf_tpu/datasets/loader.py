@@ -147,6 +147,19 @@ def make_data_loader(
             sampler_meta=section.sampler_meta,
         )
     elif name == "image_size":
+        # ImageSizeBatchSampler yields (idx, h, w) crop tuples, but every
+        # shipped dataset __getitem__ unpacks (idx, views, scale)
+        # EnerfBatchSampler tuples — h would be silently consumed as a view
+        # count.  No shipped config selects this sampler (latent in the
+        # reference too); warn loudly until a crop-aware dataset exists.
+        import warnings
+
+        warnings.warn(
+            "batch_sampler 'image_size' emits (idx, h, w) tuples, which the "
+            "shipped datasets would misread as (idx, views, scale); use it "
+            "only with a dataset that accepts crop tuples",
+            stacklevel=2,
+        )
         meta = section.sampler_meta
         batch_sampler = S.ImageSizeBatchSampler(
             sampler, section.batch_size, drop_last=False,

@@ -23,12 +23,14 @@ class Evaluator:
     def __init__(self, cfg):
         self.cfg = cfg
         self.lpips_fn = None
+        self.lpips_skipped = False
         if getattr(cfg, "eval_lpips", False):
             try:
                 from gdb_nerf_tpu.eval.lpips import LPIPS
 
                 self.lpips_fn = LPIPS.load_default()
-            except Exception as e:  # weights unavailable — degrade gracefully
+            except Exception as e:  # weights unavailable — degrade, but loudly
+                self.lpips_skipped = True
                 print(f"[evaluator] LPIPS unavailable ({e}); skipping lpips metric")
         self._reset()
         os.makedirs(cfg.result_dir, exist_ok=True)
@@ -112,6 +114,12 @@ class Evaluator:
         ret = {"psnr": float(np.mean(self.psnrs)), "ssim": float(np.mean(self.ssims))}
         if self.lpips:
             ret["lpips"] = float(np.mean(self.lpips))
+        elif self.lpips_skipped:
+            # eval_lpips was requested but no weights were available: the
+            # metrics table is NOT protocol-comparable to the reference
+            # (evaluators/gdb_nerf.py:90-95) — say so in the output itself,
+            # not just once at construction.
+            ret["lpips"] = "SKIPPED (weights absent)"
         print("=" * 30)
         for scene in self.scene_psnrs:
             line = "{} psnr: {:.2f} ssim: {:.3f}".format(

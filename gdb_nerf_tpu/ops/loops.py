@@ -35,10 +35,16 @@ def unrolled_vmap(fn, in_axes: Sequence[Any]):
     def wrapper(*args):
         assert len(args) == len(in_axes), (len(args), len(in_axes))
         n = None
-        for a, ax in zip(args, in_axes):
+        for k, (a, ax) in enumerate(zip(args, in_axes)):
             if ax == 0:
-                leaf = jax.tree_util.tree_leaves(a)[0]
-                n = leaf.shape[0] if n is None else n
+                for leaf in jax.tree_util.tree_leaves(a):
+                    if n is None:
+                        n = leaf.shape[0]
+                    elif leaf.shape[0] != n:
+                        raise ValueError(
+                            f"unrolled_vmap: mapped arg {k} has leading dim "
+                            f"{leaf.shape[0]}, expected {n}"
+                        )
         assert n is not None, "no mapped argument"
 
         outs = []

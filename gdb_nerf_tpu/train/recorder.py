@@ -68,20 +68,27 @@ class Recorder:
         for k, v in stats.items():
             self.loss_stats[k].update(float(v))
 
-    def update_image_stats(self, image_stats: dict) -> None:
+    def update_image_stats(self, image_stats: dict, batched: bool | None = None) -> None:
         """Stash images for the next record() — the reference recorder's
         image_stats path (/root/reference/train/recorder.py:78-105), with
         the gdb_nerf processor it never shipped: HWC float arrays clamped to
-        [0, 1]; 2-D arrays (depth) are normalized to their own range."""
+        [0, 1]; 2-D arrays (depth) are normalized to their own range.
+
+        ``batched``: True if every value carries a leading batch axis, False
+        if none do.  None falls back to shape inference, which cannot
+        distinguish an (H, W, C) image with an unusual channel count from a
+        batched (B, H, W) map — callers that know should say."""
         if not self.enabled:
             return
         for k, v in image_stats.items():
             img = np.asarray(v, dtype=np.float32)
+            if batched and img.ndim >= 3:
+                img = img[0]
             if img.ndim == 4:  # batched HWC: take the first element
                 img = img[0]
-            if img.ndim == 3 and img.shape[-1] not in (1, 3, 4):
-                # Batched 2-D map, e.g. (B, H, W) nerf_depth from the
-                # network — take the first element, fall through to the
+            if batched is None and img.ndim == 3 and img.shape[-1] not in (1, 3, 4):
+                # Heuristic: batched 2-D map, e.g. (B, H, W) nerf_depth from
+                # the network — take the first element, fall through to the
                 # grayscale normalization below.
                 img = img[0]
             if img.ndim == 2:  # depth/opacity map -> normalized grayscale
@@ -96,6 +103,7 @@ class Recorder:
         step: int | None = None,
         stats: dict | None = None,
         image_stats: dict | None = None,
+        batched: bool | None = None,
     ):
         if not self.enabled or self.writer is None:
             return
@@ -104,9 +112,13 @@ class Recorder:
             k: v.median for k, v in self.loss_stats.items()
         }
         for k, v in stats.items():
-            self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue  # non-numeric marker, e.g. lpips "SKIPPED (...)"
+            self.writer.add_scalar(f"{prefix}/{k}", v, step)
         if image_stats:
-            self.update_image_stats(image_stats)
+            self.update_image_stats(image_stats, batched=batched)
         for k, img in self.image_stats.items():
             self.writer.add_image(f"{prefix}/{k}", img, step, dataformats="HWC")
         self.image_stats.clear()

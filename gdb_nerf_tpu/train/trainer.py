@@ -97,7 +97,7 @@ class Trainer:
                 }
         result = evaluator.summarize()
         if recorder is not None:
-            recorder.record("val", epoch, result, image_stats)
+            recorder.record("val", epoch, result, image_stats, batched=True)
 
 
 def _device_memory_mb() -> str:

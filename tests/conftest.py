@@ -25,6 +25,21 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native IO library if absent so tests/test_native_io.py (and the
+# native reader fast path) run by default instead of silently skipping.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "native", "libgdbn_io.so")
+if not os.path.exists(_SO):
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_REPO, "native", "build.sh")],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception as e:  # toolchain absent: the skipif marker handles it
+        print(f"[conftest] native build failed ({e}); native tests will skip")
+
 
 @pytest.fixture
 def rng():
