@@ -131,8 +131,51 @@ bool decode_any(const char* path, Image* out) {
 void resize_bilinear_to_float(const Image& img, float* dst, int oh, int ow,
                               bool white_bg) {
   const int c = img.c;
-  const float sy = (float)img.h / oh;
+  // Identity-size fast path: plain u8 -> f32 conversion, which the
+  // compiler vectorizes.  This is the common DTU/LLFF case (decode at
+  // native size; any rescale happens on device) and skips ~2 ms/image of
+  // scalar interpolation arithmetic.
+  if (oh == img.h && ow == img.w) {
+    const float inv = 1.0f / 255.0f;
+    const size_t n = (size_t)oh * ow;
+    if (c == 3 && !white_bg) {
+      const uint8_t* s = img.data.data();
+      for (size_t i = 0; i < n * 3; ++i) dst[i] = s[i] * inv;
+      return;
+    }
+    if (c == 4) {
+      const uint8_t* s = img.data.data();
+      for (size_t i = 0; i < n; ++i) {
+        float a = s[i * 4 + 3] * inv;
+        for (int k = 0; k < 3; ++k) {
+          float v = s[i * 4 + k] * inv;
+          dst[i * 3 + k] = white_bg ? v * a + (1.0f - a) : v;
+        }
+      }
+      return;
+    }
+    if (c == 1) {
+      const uint8_t* s = img.data.data();
+      for (size_t i = 0; i < n; ++i) {
+        float v = s[i] * inv;
+        dst[i * 3] = dst[i * 3 + 1] = dst[i * 3 + 2] = v;
+      }
+      return;
+    }
+  }
+  // Per-column coefficients are y-independent: hoist them out of the row
+  // loop (floor/clamp per output pixel was the inner-loop hot spot).
+  std::vector<int> xs0(ow), xs1(ow);
+  std::vector<float> wxs(ow);
   const float sx = (float)img.w / ow;
+  for (int x = 0; x < ow; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = (int)floorf(fx);
+    wxs[x] = fx - x0;
+    xs0[x] = std::clamp(x0, 0, img.w - 1);
+    xs1[x] = std::clamp(x0 + 1, 0, img.w - 1);
+  }
+  const float sy = (float)img.h / oh;
   for (int y = 0; y < oh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = (int)floorf(fy);
@@ -140,11 +183,9 @@ void resize_bilinear_to_float(const Image& img, float* dst, int oh, int ow,
     int y0c = std::clamp(y0, 0, img.h - 1);
     int y1c = std::clamp(y0 + 1, 0, img.h - 1);
     for (int x = 0; x < ow; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)floorf(fx);
-      float wx = fx - x0;
-      int x0c = std::clamp(x0, 0, img.w - 1);
-      int x1c = std::clamp(x0 + 1, 0, img.w - 1);
+      float wx = wxs[x];
+      int x0c = xs0[x];
+      int x1c = xs1[x];
       const uint8_t* p00 = &img.data[((size_t)y0c * img.w + x0c) * c];
       const uint8_t* p01 = &img.data[((size_t)y0c * img.w + x1c) * c];
       const uint8_t* p10 = &img.data[((size_t)y1c * img.w + x0c) * c];
