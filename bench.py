@@ -68,6 +68,9 @@ def main() -> None:
 
     fps = 1.0 / best
     baseline_fps = 30.0  # driver target for one v5e chip
+    H, W = batch["tar_views"]["rgb"].shape[1:3] if "rgb" in batch[
+        "tar_views"
+    ] else (512, 640)
     print(
         json.dumps(
             {
@@ -75,6 +78,8 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                # BASELINE.json tracked metric: one ray per rendered pixel.
+                "rays_per_sec_per_chip": round(H * W * fps),
             }
         )
     )

@@ -1,0 +1,132 @@
+"""Marginal per-stage attribution of the fused frame via DCE ablation.
+
+The per-stage numbers from tools/profile_forward.py are separately-jitted
+chained loops: they carry fixed overhead and measure the pre-fusion regime
+(they sum to ~2x the fused frame).  This tool measures the REAL marginal
+cost of each encode component inside the fused frame: it monkeypatches
+``bundles.encode_samples`` to zero selected outputs — XLA then dead-code-
+eliminates the entire producer chain (gathers + their coordinate math), and
+the frame-time drop IS that component's marginal cost in the fused graph.
+
+Knockouts:
+  none     baseline frame
+  rgbs     member-RGB fetch (2x2 packed gathers + projection math)
+  mip      mip pyramid fetch (2 rows/sample + LOD math)
+  raydiff  ray-difference features (elementwise normalize chains)
+  vox      cost-volume sample fetch
+  encode   all of the above (sampler+depthnet+convs+head remain)
+  mvs      replace the DepthNet cascade's outputs with constants
+           (keeps encode/head/decoder; measures FPN+cascade marginal)
+
+Usage: python tools/ablate_frame.py [--knock none rgbs mip ...] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--knock", nargs="*",
+        default=["none", "rgbs", "mip", "raydiff", "vox", "encode"],
+    )
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--cfg", default="configs/dtu_eval.yaml")
+    ap.add_argument("--set", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from gdb_nerf_tpu.runtime import cache
+
+    cache.enable()
+    import jax
+    import jax.numpy as jnp
+
+    from gdb_nerf_tpu.config import load_cfg
+    from gdb_nerf_tpu.datasets import make_data_loader
+    from gdb_nerf_tpu.models import network as network_mod
+    from gdb_nerf_tpu.ops import bundles
+    from gdb_nerf_tpu.runtime import make_network
+    from gdb_nerf_tpu.runtime.renderer import force_sync, init_network, to_device
+
+    cfg = load_cfg(
+        args.cfg,
+        ["synthetic", "True", "compute_dtype", "bfloat16"] + list(args.set),
+    )
+    network = make_network(cfg)
+    loader = make_data_loader(cfg, is_train=False)
+    batch = next(iter(loader))
+    variables = init_network(network, cfg, sample_batch=batch)
+    dev = to_device(batch)
+
+    real_encode = bundles.encode_samples
+
+    def make_patched(zero_fields):
+        def patched(*a, **k):
+            enc = real_encode(*a, **k)
+            return enc._replace(
+                **{f: jnp.zeros_like(getattr(enc, f)) for f in zero_fields}
+            )
+
+        return patched
+
+    KNOCKS = {
+        "none": [],
+        "rgbs": ["rgbs"],
+        "mip": ["mip_feat"],
+        "raydiff": ["ray_diff"],
+        "vox": ["vox_feat"],
+        "encode": ["rgbs", "mip_feat", "ray_diff", "vox_feat"],
+    }
+
+    def timed_frame():
+        def run_n(n):
+            def body(i, carry):
+                sv = dict(dev["src_views"])
+                sv["rgb"] = sv["rgb"] + carry * 1e-12
+                b = {**dev, "src_views": sv}
+                ret, _, _ = network.apply(variables, b, train=False)
+                return ret["rgb"].mean()
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        g = jax.jit(run_n, static_argnums=0)
+        force_sync(g(args.n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force_sync(g(args.n))
+            best = min(best, (time.time() - t0) / args.n)
+        return best * 1e3
+
+    base_ms = None
+    # network.py calls bundles.encode_samples through the module attribute
+    # (network.py:288), so patching the bundles module attribute suffices.
+    assert network_mod.bundles is bundles
+
+    for name in args.knock:
+        fields = KNOCKS[name]
+        bundles.encode_samples = make_patched(fields) if fields else real_encode
+        try:
+            ms = timed_frame()
+        finally:
+            bundles.encode_samples = real_encode
+        if name == "none":
+            base_ms = ms
+            print(f"{name:8s} {ms:8.2f} ms/frame (baseline)", flush=True)
+        else:
+            delta = (base_ms - ms) if base_ms is not None else float("nan")
+            print(
+                f"{name:8s} {ms:8.2f} ms/frame   marginal cost {delta:+7.2f} ms",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
