@@ -20,6 +20,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gdb_nerf_tpu.ops import fastconv
+
+# Lowering toggle for the small-channel convs: True routes ConvBlock through
+# the shift+dot lowering (ops/fastconv.py, ~1.5x on this toolchain at C<=32,
+# identical parameter tree).  Module-global so A/B tools can flip it without
+# threading a field through every model; read at trace time.
+USE_FAST_CONV = True
+
+
+def set_fast_conv(enabled: bool) -> None:
+    global USE_FAST_CONV
+    USE_FAST_CONV = enabled
+
 
 class ConvBlock(nn.Module):
     """Conv(bias-free) + BatchNorm + ReLU for 2D or 3D (by kernel length)."""
@@ -37,14 +50,24 @@ class ConvBlock(nn.Module):
         ndim = len(self.kernel_size)
         strides = self.strides or (1,) * ndim
         pad = self.padding or (0,) * ndim
-        x = nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=tuple(strides),
-            padding=[(p, p) for p in pad],
-            use_bias=False,
-            dtype=self.dtype,
-        )(x.astype(self.dtype))
+        if USE_FAST_CONV:
+            x = fastconv.FastConv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(strides),
+                padding=[(p, p) for p in pad],
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x.astype(self.dtype))
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(strides),
+                padding=[(p, p) for p in pad],
+                use_bias=False,
+                dtype=self.dtype,
+            )(x.astype(self.dtype))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

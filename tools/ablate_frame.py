@@ -85,6 +85,59 @@ def main():
         "encode": ["rgbs", "mip_feat", "ray_diff", "vox_feat"],
     }
 
+    # Model-side knocks: zero a module/op OUTPUT (shape from the real call),
+    # letting DCE erase its entire producer chain.
+    from gdb_nerf_tpu.models import cost_reg_net as crn_mod
+    from gdb_nerf_tpu.models import decoder_rdn as dec_mod
+    from gdb_nerf_tpu.models import nerf_head as head_mod
+    from gdb_nerf_tpu.ops import cost_volume as cv_mod
+
+    def _zeroed(cls_call):
+        def patched(self, *a, **k):
+            out = cls_call(self, *a, **k)
+            return jax.tree_util.tree_map(jnp.zeros_like, out)
+
+        return patched
+
+    MODEL_KNOCKS = {
+        # kills the homography-warp volume build (both stages); U-Nets run
+        # on zeros
+        "cvwarp": (cv_mod.build_cost_volume, "build_cost_volume", cv_mod),
+        # kills U-Nets AND their warp inputs AND most of the FPN
+        "regs": None,  # handled via class patches below
+        # kills the RDN decoder (coarse path)
+        "dec": None,
+        # kills the bundle NeRF head matmuls and everything upstream of it
+        # (encode+sampling) — the remainder is FPN+MVS+decoder
+        "head": None,
+    }
+
+    real_cv = cv_mod.build_cost_volume
+    real_reg_small = crn_mod.CostRegNetSmall.__call__
+    real_reg_full = crn_mod.CostRegNet.__call__
+    real_dec = dec_mod.Decoder.__call__
+    real_head = head_mod.BundleNeRF.__call__
+
+    def apply_model_knock(name):
+        if name == "cvwarp":
+            cv_mod.build_cost_volume = lambda *a, **k: jax.tree_util.tree_map(
+                jnp.zeros_like, real_cv(*a, **k)
+            )
+        elif name == "regs":
+            crn_mod.CostRegNetSmall.__call__ = _zeroed(real_reg_small)
+            crn_mod.CostRegNet.__call__ = _zeroed(real_reg_full)
+        elif name == "dec":
+            dec_mod.Decoder.__call__ = _zeroed(real_dec)
+        elif name == "head":
+            head_mod.BundleNeRF.__call__ = _zeroed(real_head)
+
+    def clear_model_knocks():
+        cv_mod.build_cost_volume = real_cv
+        crn_mod.CostRegNetSmall.__call__ = real_reg_small
+        crn_mod.CostRegNet.__call__ = real_reg_full
+        dec_mod.Decoder.__call__ = real_dec
+        head_mod.BundleNeRF.__call__ = real_head
+
     def timed_frame():
         def run_n(n):
             def body(i, carry):
@@ -111,12 +164,18 @@ def main():
     assert network_mod.bundles is bundles
 
     for name in args.knock:
-        fields = KNOCKS[name]
-        bundles.encode_samples = make_patched(fields) if fields else real_encode
+        if name in KNOCKS:
+            fields = KNOCKS[name]
+            bundles.encode_samples = (
+                make_patched(fields) if fields else real_encode
+            )
+        else:
+            apply_model_knock(name)
         try:
             ms = timed_frame()
         finally:
             bundles.encode_samples = real_encode
+            clear_model_knocks()
         if name == "none":
             base_ms = ms
             print(f"{name:8s} {ms:8.2f} ms/frame (baseline)", flush=True)

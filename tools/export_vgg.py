@@ -38,15 +38,21 @@ def export_state_dict(features) -> dict:
     return out
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, random_init: bool = False) -> None:
     import torchvision
 
-    vgg = torchvision.models.vgg16(weights="DEFAULT").features[:23].eval()
+    # --random: export a randomly-initialized VGG16 — structurally identical
+    # weights for exercising the perceptual code path end to end on
+    # no-egress machines (metric values are then NOT protocol-comparable).
+    weights = None if random_init else "DEFAULT"
+    vgg = torchvision.models.vgg16(weights=weights).features[:23].eval()
     out = export_state_dict(vgg)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     np.savez(out_path, **out)
-    print(f"wrote {out_path} with {len(out)} arrays")
+    kind = "RANDOM-INIT" if random_init else "pretrained"
+    print(f"wrote {out_path} with {len(out)} arrays ({kind})")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    argv = [a for a in sys.argv[1:] if a != "--random"]
+    main(argv[0], random_init="--random" in sys.argv)

@@ -25,6 +25,10 @@ def main():
                     help="training crop (the pretrain config trains at "
                     "512x640 input scale 0.5 -> 256x320)")
     ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--dtype", default="float32",
+                    help="model compute_dtype (activations); training keeps "
+                    "matmul precision 'highest' regardless — this probes "
+                    "whether bf16 activations alone are a stable speedup")
     args = ap.parse_args()
 
     from gdb_nerf_tpu.runtime import cache
@@ -48,9 +52,12 @@ def main():
     cfg = load_cfg(
         "configs/dtu_pretrain.yaml",
         ["synthetic", "True", "train.batch_size", str(args.batch),
-         "synthetic_hw", f"[{H},{W}]"],
+         "synthetic_hw", f"[{H},{W}]", "compute_dtype", args.dtype],
     )
-    print(f"device: {jax.devices()[0]}  B={args.batch}  {H}x{W}", flush=True)
+    print(
+        f"device: {jax.devices()[0]}  B={args.batch}  {H}x{W}  {args.dtype}",
+        flush=True,
+    )
 
     network = make_network(cfg)
     loader = make_data_loader(cfg, is_train=True)

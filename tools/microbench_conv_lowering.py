@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=[512, 640])
     ap.add_argument("--depth", type=int, default=6, help="convs per chain")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--conv3d", type=int, default=0,
+                    help="D extent: benchmark 3^3 volume convs instead")
     args = ap.parse_args()
+    if args.conv3d:
+        bench_3d(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -107,6 +112,90 @@ def main():
         ms = chain_time(f, x0, iters=8)
         per = ms / args.depth
         print(f"  {name:8s} {ms:8.2f} ms chain   {per:6.2f} ms/conv", flush=True)
+
+
+def bench_3d(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    C = args.c
+    D = args.conv3d
+    H, W = args.size
+    dt = jnp.dtype(args.dtype)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, args.depth)
+    Ws = [
+        (jax.random.normal(k, (3, 3, 3, C, C)) * (0.3 / C)).astype(dt)
+        for k in ks
+    ]
+    x0 = jax.random.uniform(key, (D, H, W, C)).astype(dt)
+    print(
+        f"device: {jax.devices()[0]}  conv3d {D}x{H}x{W} C={C} "
+        f"depth={args.depth} {dt}",
+        flush=True,
+    )
+
+    def conv_xla(x, w):
+        return lax.conv_general_dilated(
+            x[None], w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    def conv_shifts(x, w):
+        xp = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    part = jnp.dot(
+                        xp[dz : dz + D, dy : dy + H, dx : dx + W],
+                        w[dz, dy, dx],
+                        preferred_element_type=x.dtype,
+                    )
+                    out = part if out is None else out + part
+        return out
+
+    def conv_im2col(x, w):
+        xp = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [
+                xp[dz : dz + D, dy : dy + H, dx : dx + W]
+                for dz in range(3)
+                for dy in range(3)
+                for dx in range(3)
+            ],
+            axis=-1,
+        )
+        return jnp.dot(cols, w.reshape(27 * C, C), preferred_element_type=x.dtype)
+
+    def relu_bn(x):
+        return jnp.maximum(x - x.mean(axis=(0, 1, 2)), 0.0)
+
+    def chain(conv):
+        def f(x):
+            for w in Ws:
+                x = relu_bn(conv(x, w))
+            return x
+
+        return jax.jit(f)
+
+    variants = {
+        "xla": chain(conv_xla),
+        "shifts": chain(conv_shifts),
+        "im2col": chain(conv_im2col),
+    }
+    ref = np.asarray(variants["xla"](x0), np.float32)
+    for name, f in variants.items():
+        got = np.asarray(f(x0), np.float32)
+        err = np.abs(got - ref).max()
+        assert err < (0.1 if dt == jnp.bfloat16 else 1e-3), (name, err)
+    for name, f in variants.items():
+        ms = chain_time(f, x0, iters=8)
+        print(
+            f"  {name:8s} {ms:8.2f} ms chain   {ms / args.depth:6.2f} ms/conv",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
