@@ -16,6 +16,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gdb_nerf_tpu.models.layers import ConvBlock, DeconvBlock
+from gdb_nerf_tpu.models import layers
+from gdb_nerf_tpu.ops.fastconv import FastConv
+
+
+def _head_conv(features: int, dtype, name: str):
+    """Bias-free 3x3x3 output head, fast-lowered when the toggle is on."""
+    if layers.USE_FAST_CONV:
+        return FastConv(
+            features, (3, 3, 3), padding=[(1, 1)] * 3, dtype=dtype, name=name
+        )
+    return nn.Conv(
+        features, (3, 3, 3), padding=1, use_bias=False, dtype=dtype, name=name
+    )
 
 
 class CostRegNet(nn.Module):
@@ -56,13 +69,8 @@ class CostRegNet(nn.Module):
         up = c2 + DeconvBlock(bc * 2, **dkw)(up, train)
         up = c0 + DeconvBlock(bc, **dkw)(up, train)
 
-        feat = nn.Conv(
-            self.out_channels, (3, 3, 3), padding=1, use_bias=False,
-            dtype=self.dtype,
-        )(up)
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype)(
-            up
-        )[..., 0]
+        feat = _head_conv(self.out_channels, self.dtype, "Conv_0")(up)
+        logits = _head_conv(1, self.dtype, "Conv_1")(up)[..., 0]
         prob = nn.softmax(logits.astype(jnp.float32), axis=1)  # over depth axis
         return feat, prob
 
@@ -99,12 +107,7 @@ class CostRegNetSmall(nn.Module):
         up = c2 + DeconvBlock(bc * 2, **dkw)(bott, train)
         up = c0 + DeconvBlock(bc, **dkw)(up, train)
 
-        feat = nn.Conv(
-            self.out_channels, (3, 3, 3), padding=1, use_bias=False,
-            dtype=self.dtype,
-        )(up)
-        logits = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype)(
-            up
-        )[..., 0]
+        feat = _head_conv(self.out_channels, self.dtype, "Conv_0")(up)
+        logits = _head_conv(1, self.dtype, "Conv_1")(up)[..., 0]
         prob = nn.softmax(logits.astype(jnp.float32), axis=1)
         return feat, prob

@@ -17,9 +17,22 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gdb_nerf_tpu.models import layers
 from gdb_nerf_tpu.models.layers import ConvBlock
+from gdb_nerf_tpu.ops.fastconv import FastConv
 from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.resize import upsample_nearest_2x
+
+
+def _out_conv(features: int, dtype, name: str):
+    """Bias-free 3x3 head conv, routed through the fast lowering when on."""
+    if layers.USE_FAST_CONV:
+        return FastConv(
+            features, (3, 3), padding=[(1, 1), (1, 1)], dtype=dtype, name=name
+        )
+    return nn.Conv(
+        features, (3, 3), padding=1, use_bias=False, dtype=dtype, name=name
+    )
 
 
 class FeatureNet(nn.Module):
@@ -45,21 +58,15 @@ class FeatureNet(nn.Module):
         c2 = ConvBlock(bc * 4, (5, 5), strides=(2, 2), padding=(2, 2), **kw)(c1, train)
         c2 = ConvBlock(bc * 4, (3, 3), padding=(1, 1), **kw)(c2, train)
 
-        out0 = nn.Conv(self.out_channels[0], (1, 1), dtype=self.dtype)(c2)
+        out0 = nn.Conv(self.out_channels[0], (1, 1), dtype=self.dtype, name="Conv_0")(c2)
 
         # Unrolled over the (B*V <= 12) batch: vmap over small leading axes
         # blocks producer fusion on this toolchain (see ops/loops.py).
         up = unrolled_vmap(upsample_nearest_2x, (0,))
-        intra = up(c2) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype)(c1)
-        out1 = nn.Conv(
-            self.out_channels[1], (3, 3), padding=1, use_bias=False,
-            dtype=self.dtype,
-        )(intra)
+        intra = up(c2) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype, name="Conv_1")(c1)
+        out1 = _out_conv(self.out_channels[1], self.dtype, "Conv_2")(intra)
 
-        intra = up(intra) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype)(c0)
-        out2 = nn.Conv(
-            self.out_channels[2], (3, 3), padding=1, use_bias=False,
-            dtype=self.dtype,
-        )(intra)
+        intra = up(intra) + nn.Conv(bc * 4, (1, 1), dtype=self.dtype, name="Conv_3")(c0)
+        out2 = _out_conv(self.out_channels[2], self.dtype, "Conv_4")(intra)
 
         return [out0, out1, out2]

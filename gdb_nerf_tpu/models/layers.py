@@ -103,19 +103,22 @@ class DeconvBlock(nn.Module):
             nn.initializers.lecun_normal(),
             (k,) * self.ndim + (in_features, self.features),
         )
-        if self.ndim == 2:
-            dn = ("NHWC", "HWIO", "NHWC")
+        if USE_FAST_CONV:
+            y = fastconv.deconv_subpixel(x, kernel.astype(x.dtype))
         else:
-            dn = ("NDHWC", "DHWIO", "NDHWC")
-        pad = [(k - 1 - p, k - 1 - p + op)] * self.ndim
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1,) * self.ndim,
-            padding=pad,
-            lhs_dilation=(s,) * self.ndim,
-            dimension_numbers=dn,
-        )
+            if self.ndim == 2:
+                dn = ("NHWC", "HWIO", "NHWC")
+            else:
+                dn = ("NDHWC", "DHWIO", "NDHWC")
+            pad = [(k - 1 - p, k - 1 - p + op)] * self.ndim
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(x.dtype),
+                window_strides=(1,) * self.ndim,
+                padding=pad,
+                lhs_dilation=(s,) * self.ndim,
+                dimension_numbers=dn,
+            )
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

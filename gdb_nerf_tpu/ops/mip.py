@@ -114,37 +114,44 @@ def mip_texture_fetch_packed(
     """
     H0, W0 = base_hw
     lod = jnp.clip(lod, 0.0, float(max_level))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - l0.astype(lod.dtype))[..., None]
-    l1 = jnp.minimum(l0 + 1, max_level)
+    l0f = jnp.floor(lod)
+    frac = (lod - l0f)[..., None]
 
     T, C4 = packed.shape
     C = C4 // 4
     flat = packed
-
-    # Per-level flat offsets have the closed form 4*(T0 - Tl)/3 (a geometric
-    # series, exact in integers) whenever every level divides evenly —
-    # computing it arithmetically avoids a jnp.take(offsets, level) gather
-    # PER SAMPLE (2 taps x ~740k samples/view ~ 1.5M extra gather rows per
-    # frame on a gather-row-rate-bound chip).
     T0 = H0 * W0
     closed_form = H0 % (1 << max_level) == 0 and W0 % (1 << max_level) == 0
+    # build_pyramid requires divisibility, so levels halve exactly and the
+    # float level-size/offset arithmetic below is int-exact.
+    assert closed_form, (base_hw, max_level)
 
-    def taps(level):
-        Hl = H0 >> level
-        Wl = W0 >> level
-        if closed_form:
-            off = (4 * (T0 - Hl * Wl)) // 3
-        else:
-            off = jnp.take(offsets, level)
+    # Shared-coordinate restructure (measured 14.9 -> 9.3 ms on the 1.47 M
+    # row DTU-eval fetch, tools/microbench_mip.py): per-level sizes via one
+    # exp2 of the float level — the ceil level's scale is floor/2 with the
+    # max-level clamp — and the geometric-series flat offset 4*(T0 - T0*s^2)/3
+    # computed in float (int-exact below 2^24 when the base divides 2^L).
+    # The base uv*W products are computed once and reused by both taps.
+    s0 = jnp.exp2(-l0f)
+    s1 = jnp.where(l0f >= float(max_level), s0, s0 * 0.5)
+    xc = uv[..., 0] * W0
+    yc = uv[..., 1] * H0
+
+    def taps(s):
+        Wl = W0 * s
+        Hl = H0 * s
+        off = jnp.round((4.0 / 3.0) * (T0 - T0 * s * s)).astype(jnp.int32)
         # Clamp boundary == border mode: clip the continuous coordinate.
-        x = jnp.clip(uv[..., 0] * Wl.astype(uv.dtype) - 0.5, 0.0, Wl - 1.0)
-        y = jnp.clip(uv[..., 1] * Hl.astype(uv.dtype) - 0.5, 0.0, Hl - 1.0)
-        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, Wl - 1)
-        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, Hl - 1)
-        wx = (x - bx.astype(x.dtype))[..., None].astype(packed.dtype)
-        wy = (y - by.astype(y.dtype))[..., None].astype(packed.dtype)
-        rows = jnp.take(flat, off + by * Wl + bx, axis=0)
+        x = jnp.clip(xc * s - 0.5, 0.0, Wl - 1.0)
+        y = jnp.clip(yc * s - 0.5, 0.0, Hl - 1.0)
+        bx = jnp.floor(x)
+        by = jnp.floor(y)
+        wx = (x - bx)[..., None].astype(packed.dtype)
+        wy = (y - by)[..., None].astype(packed.dtype)
+        idx = off + by.astype(jnp.int32) * Wl.astype(jnp.int32) + bx.astype(
+            jnp.int32
+        )
+        rows = jnp.take(flat, idx, axis=0)
         v00 = rows[..., 0 * C : 1 * C]
         v01 = rows[..., 1 * C : 2 * C]
         v10 = rows[..., 2 * C : 3 * C]
@@ -153,8 +160,8 @@ def mip_texture_fetch_packed(
         bot = v10 * (1 - wx) + v11 * wx
         return top * (1 - wy) + bot * wy
 
-    a = taps(l0)
-    b = taps(l1)
+    a = taps(s0)
+    b = taps(s1)
     frac = frac.astype(a.dtype)
     return a * (1 - frac) + b * frac
 

@@ -70,3 +70,38 @@ def test_convblock_tree_and_value_identical(rng):
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_slow), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("nd,shape,cin,cout", [
+    (2, (6, 7), 4, 8),
+    (3, (4, 5, 6), 8, 4),
+])
+def test_deconv_subpixel_matches_dilated_conv(rng, nd, shape, cin, cout):
+    from gdb_nerf_tpu.ops.fastconv import deconv_subpixel
+
+    x = jnp.asarray(rng.normal(size=(2, *shape, cin)), jnp.float32)
+    kernel = jnp.asarray(
+        rng.normal(size=(3,) * nd + (cin, cout)) * 0.2, jnp.float32
+    )
+    dn = ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    ref = lax.conv_general_dilated(
+        x, kernel, (1,) * nd, [(1, 2)] * nd, lhs_dilation=(2,) * nd,
+        dimension_numbers=dn,
+    )
+    got = deconv_subpixel(x, kernel)
+    assert got.shape == ref.shape == (2, *(2 * s for s in shape), cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_deconvblock_lowering_equivalence(rng):
+    x = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 8)), jnp.float32)
+    blk = layers.DeconvBlock(4, ndim=3)
+    layers.set_fast_conv(False)
+    try:
+        v = blk.init(jax.random.PRNGKey(0), x, train=False)
+        ref = blk.apply(v, x, train=False)
+        layers.set_fast_conv(True)
+        got = blk.apply(v, x, train=False)
+    finally:
+        layers.set_fast_conv(True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

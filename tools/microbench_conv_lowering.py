@@ -35,7 +35,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--conv3d", type=int, default=0,
                     help="D extent: benchmark 3^3 volume convs instead")
+    ap.add_argument("--deconv3d", type=int, default=0,
+                    help="D extent: benchmark k3 s2 transposed convs instead")
     args = ap.parse_args()
+    if args.deconv3d:
+        bench_deconv(args)
+        return
     if args.conv3d:
         bench_3d(args)
         return
@@ -112,6 +117,65 @@ def main():
         ms = chain_time(f, x0, iters=8)
         per = ms / args.depth
         print(f"  {name:8s} {ms:8.2f} ms chain   {per:6.2f} ms/conv", flush=True)
+
+
+def bench_deconv(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gdb_nerf_tpu.ops.fastconv import deconv_subpixel
+
+    C = args.c
+    D = args.deconv3d
+    H, W = args.size
+    dt = jnp.dtype(args.dtype)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, args.depth)
+    Ws = [
+        (jax.random.normal(k, (3, 3, 3, C, C)) * (0.3 / C)).astype(dt)
+        for k in ks
+    ]
+    x0 = jax.random.uniform(key, (D, H, W, C)).astype(dt)
+    print(
+        f"device: {jax.devices()[0]}  deconv3d {D}x{H}x{W} C={C} "
+        f"depth={args.depth} {dt} (spatial doubles per layer)",
+        flush=True,
+    )
+
+    def deconv_xla(x, w):
+        return lax.conv_general_dilated(
+            x[None], w, (1, 1, 1), [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    def pool(x):  # halve back so the chain keeps a fixed size
+        d, h, w, c = x.shape
+        return x.reshape(d // 2, 2, h // 2, 2, w // 2, 2, c).mean((1, 3, 5))
+
+    def chain(deconv):
+        def f(x):
+            for w in Ws:
+                x = pool(jnp.maximum(deconv(x, w), 0.0))
+            return x
+
+        return jax.jit(f)
+
+    variants = {
+        "xla": chain(deconv_xla),
+        "subpixel": chain(lambda x, w: deconv_subpixel(x, w)),
+    }
+    ref = np.asarray(variants["xla"](x0), np.float32)
+    for name, f in variants.items():
+        got = np.asarray(f(x0), np.float32)
+        err = np.abs(got - ref).max()
+        assert err < (0.1 if dt == jnp.bfloat16 else 1e-3), (name, err)
+    for name, f in variants.items():
+        ms = chain_time(f, x0, iters=8)
+        print(
+            f"  {name:8s} {ms:8.2f} ms chain   {ms / args.depth:6.2f} ms/deconv",
+            flush=True,
+        )
 
 
 def bench_3d(args):
