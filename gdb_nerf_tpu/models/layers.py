@@ -22,16 +22,22 @@ from flax import linen as nn
 
 from gdb_nerf_tpu.ops import fastconv
 
-# Lowering toggle for the small-channel convs: True routes ConvBlock through
-# the shift+dot lowering (ops/fastconv.py, ~1.5x on this toolchain at C<=32,
-# identical parameter tree).  Module-global so A/B tools can flip it without
-# threading a field through every model; read at trace time.
-USE_FAST_CONV = True
+# Lowering toggles for the small-channel convs: route ConvBlock through the
+# shift+dot lowering and DeconvBlock through the subpixel lowering
+# (ops/fastconv.py; identical parameter trees).  Module-globals so A/B tools
+# can flip them without threading fields through every model; read at trace
+# time.  Env override for bisection: GDBN_FASTCONV=0|conv|deconv|1.
+import os as _os
+
+_mode = _os.environ.get("GDBN_FASTCONV", "1")
+USE_FAST_CONV = _mode in ("1", "conv")
+USE_FAST_DECONV = _mode in ("1", "deconv")
 
 
-def set_fast_conv(enabled: bool) -> None:
-    global USE_FAST_CONV
+def set_fast_conv(enabled: bool, deconv: bool | None = None) -> None:
+    global USE_FAST_CONV, USE_FAST_DECONV
     USE_FAST_CONV = enabled
+    USE_FAST_DECONV = enabled if deconv is None else deconv
 
 
 class ConvBlock(nn.Module):
@@ -103,7 +109,7 @@ class DeconvBlock(nn.Module):
             nn.initializers.lecun_normal(),
             (k,) * self.ndim + (in_features, self.features),
         )
-        if USE_FAST_CONV:
+        if USE_FAST_DECONV:
             y = fastconv.deconv_subpixel(x, kernel.astype(x.dtype))
         else:
             if self.ndim == 2:
