@@ -27,9 +27,16 @@ from gdb_nerf_tpu.ops import fastconv
 # (ops/fastconv.py; identical parameter trees).  Module-globals so A/B tools
 # can flip them without threading fields through every model; read at trace
 # time.  Env override for bisection: GDBN_FASTCONV=0|conv|deconv|1.
+#
+# Default is DECONV-ONLY: the shift+dot ConvBlock lowering wins every
+# microbench (1.5x at C=8, in-graph chains) but REGRESSES the fused
+# 512x640 frame 59 -> 113 ms (full-graph A/B, PERF.md round 3) — the
+# 9/27-way slice+dot expansion defeats XLA's cross-stage fusion at whole-
+# program scale.  The subpixel deconv is frame-neutral (58.9 vs 59.0 ms)
+# and 4.2x standalone, so it stays.
 import os as _os
 
-_mode = _os.environ.get("GDBN_FASTCONV", "1")
+_mode = _os.environ.get("GDBN_FASTCONV", "deconv")
 USE_FAST_CONV = _mode in ("1", "conv")
 USE_FAST_DECONV = _mode in ("1", "deconv")
 

@@ -74,6 +74,18 @@ def main():
     force_sync(metrics["loss"])
     print(f"warm loss: {float(metrics['loss']):.4f}", flush=True)
 
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        stats = {}
+    peak = stats.get("peak_bytes_in_use")
+    if peak is not None:
+        print(f"peak HBM: {peak / 2**30:.2f} GiB "
+              f"(limit {stats.get('bytes_limit', 0) / 2**30:.2f} GiB)",
+              flush=True)
+    else:
+        print("peak HBM: unavailable on this platform", flush=True)
+
     # The step donates its input state, so keep evolving one state chain —
     # each round's steps queue asynchronously and the force_sync at the end
     # measures device time (dispatch overlaps the 50 ms tunnel RTT).
