@@ -183,6 +183,10 @@ DEFAULT_CFG: dict = {
     "compute_dtype": "float32",
     # run the bundle NeRF head as a fused Pallas kernel at eval time
     "use_pallas": False,
+    # rematerialize the big submodules + the sample/encode chunk during
+    # training (required to fit the shipped 512x640 batch-4 recipe in HBM;
+    # eval graphs are unaffected — see models/network.py `remat`)
+    "remat": False,
     # XLA matmul precision during TRAINING.  The TPU default (bf16 operand
     # truncation) causes catastrophic loss spikes on this model — identical
     # runs diverge on TPU but not CPU; 'highest' restores CPU-exact learning

@@ -72,6 +72,14 @@ class Network(nn.Module):
     # Run the bundle NeRF head as a fused Pallas kernel (eval only — the
     # kernel has no custom VJP yet; training always uses the flax head).
     use_pallas: bool = False
+    # Rematerialization for training at full scale: wraps the four big
+    # submodules in nn.remat and the pure sample+encode chunk in
+    # jax.checkpoint, so the backward pass recomputes their internals
+    # instead of keeping them live.  Required to fit the reference's
+    # shipped recipe (512x640, batch 4 — ~44 GB of saved activations
+    # without remat vs 15.75 GB dev-chip HBM).  Combine with
+    # nerf.chunk_size to also bound the bundle-stage backward peak.
+    remat: bool = False
     # Fetch the b*b member-ray RGBs from one shared 4x4 patch row per
     # (bundle, sample, view) instead of one 2x2 row per member ray (see
     # ops.grid_sample.gather_patch_bilinear).  Measured on the dev TPU this
@@ -108,6 +116,7 @@ class Network(nn.Module):
             axis_name=axis_name,
             compute_dtype=getattr(cfg, "compute_dtype", "float32"),
             use_pallas=getattr(cfg, "use_pallas", False),
+            remat=getattr(cfg, "remat", False),
         )
 
     @property
@@ -152,9 +161,23 @@ class Network(nn.Module):
         tar_exts, tar_ints = tar["extrinsics"], tar["intrinsics"]
         near_far = batch["near_far"]
 
+        # Remat variants of the big submodules (param trees are identical —
+        # nn.remat is a lifted transform that preserves module naming).
+        # Gated to train: eval graphs are forward-only (remat would be a
+        # no-op there, but gating keeps the benched eval graph untouched).
+        use_remat = self.remat and train
+        if use_remat:
+            FeatureNetM = nn.remat(FeatureNet, static_argnums=(2,))
+            DepthNetM = nn.remat(DepthNet, static_argnums=(8,))
+            BundleNeRFM = nn.remat(BundleNeRF)
+            DecoderM = nn.remat(Decoder)
+        else:
+            FeatureNetM, DepthNetM = FeatureNet, DepthNet
+            BundleNeRFM, DecoderM = BundleNeRF, Decoder
+
         # 1. FPN features over all source images.
         flat = src_images.reshape(B * V, H_orig, W_orig, 3)
-        ms_feats = FeatureNet(
+        ms_feats = FeatureNetM(
             self.fpn_base_channels,
             tuple(self.fpn_feat_dims),
             self.axis_name,
@@ -166,7 +189,7 @@ class Network(nn.Module):
         # 2. Cascaded MVS.
         feat_scales = tuple(self.fpn_feat_scales[l] for l in self.mvs_vol_levels)
         feat_dims = tuple(self.fpn_feat_dims[l] for l in self.mvs_vol_levels)
-        mvs = DepthNet(
+        mvs = DepthNetM(
             base_channels=self.fpn_base_channels,
             vol_levels=tuple(self.mvs_vol_levels),
             vol_scales=tuple(self.mvs_vol_scales),
@@ -241,7 +264,7 @@ class Network(nn.Module):
 
         S = self.max_num_samples
         bsq = b * b
-        head = BundleNeRF(
+        head = BundleNeRFM(
             self.nerf_hidden_dims,
             self.mvs_voxel_dim,
             self.viewdir_agg,
@@ -267,58 +290,71 @@ class Network(nn.Module):
                     rb_c.near,
                     rb_c.far,
                 )
-            samples = unrolled_vmap(
-                lambda r, dr, vr: bundles.sample_bundles(
-                    r,
-                    dr,
-                    vr,
-                    self.max_num_samples,
-                    self.global_num_depth,
-                    inv,
-                    self.is_adaptive,
-                ),
-                (0, 0, 0),
-            )(rb_c, dr_c, vr_c)
-            if sharded:
-                samples = bundles.BundleSamples(
-                    *(shard_rows(t, 1) for t in samples)
-                )
+            def sample_encode(rb_c, dr_c, vr_c):
+                """Pure sample+encode+concat: everything between the MVS
+                outputs and the NeRF head.  Checkpointed under remat so the
+                backward recomputes it per chunk instead of keeping the
+                (B, V, H, W, S, ...) encodings live."""
+                samples = unrolled_vmap(
+                    lambda r, dr, vr: bundles.sample_bundles(
+                        r,
+                        dr,
+                        vr,
+                        self.max_num_samples,
+                        self.global_num_depth,
+                        inv,
+                        self.is_adaptive,
+                    ),
+                    (0, 0, 0),
+                )(rb_c, dr_c, vr_c)
+                if sharded:
+                    samples = bundles.BundleSamples(
+                        *(shard_rows(t, 1) for t in samples)
+                    )
 
-            enc = unrolled_vmap(
-                bundles.encode_samples,
-                (0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
-            )(rb_c, samples, src_images.astype(cdtype), img_feat, packed,
-              pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
-              self.max_mipmap_level, self.member_patch)
-            if sharded:
-                # (rgbs, mip_feat, ray_diff) are (B, V, H, W, ...) -> H at
-                # axis 2; vox_feat is (B, H, W, ...) -> axis 1.
-                enc = bundles.EncodedSamples(
-                    shard_rows(enc.rgbs, 2),
-                    shard_rows(enc.mip_feat, 2),
-                    shard_rows(enc.ray_diff, 2),
-                    shard_rows(enc.vox_feat, 1),
-                )
+                enc = unrolled_vmap(
+                    bundles.encode_samples,
+                    (0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
+                )(rb_c, samples, src_images.astype(cdtype), img_feat, packed,
+                  pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
+                  self.max_mipmap_level, self.member_patch)
+                if sharded:
+                    # (rgbs, mip_feat, ray_diff) are (B, V, H, W, ...) -> H
+                    # at axis 2; vox_feat is (B, H, W, ...) -> axis 1.
+                    enc = bundles.EncodedSamples(
+                        shard_rows(enc.rgbs, 2),
+                        shard_rows(enc.mip_feat, 2),
+                        shard_rows(enc.ray_diff, 2),
+                        shard_rows(enc.vox_feat, 1),
+                    )
+                Hc = rb_c.bundle_dirs.shape[1]
+                rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
+                payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
+                feat_rgb_dir = jnp.concatenate(
+                    [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
+                )  # (B, V, Hc, W, S, F+3+4)
+                return samples, enc.vox_feat, payload, feat_rgb_dir
+
+            if use_remat and not sharded:
+                sample_encode = jax.checkpoint(sample_encode)
+            samples, vox_feat, payload, feat_rgb_dir = sample_encode(
+                rb_c, dr_c, vr_c
+            )
+            Hc = rb_c.bundle_dirs.shape[1]
 
             # 5. Bundle NeRF over every sample.  The heads take the view
             # axis right after batch — the encoder's native layout.
-            Hc = rb_c.bundle_dirs.shape[1]
-            rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
-            payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
-            feat_rgb_dir = jnp.concatenate(
-                [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
-            )  # (B, V, Hc, W, S, F+3+4)
 
             if self.use_pallas and not train and self.is_initializing() is False:
                 from gdb_nerf_tpu.ops.pallas.fused_nerf import fused_bundle_nerf
 
                 head_params = self.scope.get_variable("params", "nerf")
                 if head_params is None:
-                    sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+                    sigma, feat = head(vox_feat, payload, feat_rgb_dir)
                 else:
                     P = payload.shape[-1]
                     F4 = feat_rgb_dir.shape[-1]
-                    vox_flat = enc.vox_feat.reshape(-1, enc.vox_feat.shape[-1])
+                    vox_flat = vox_feat.reshape(-1, vox_feat.shape[-1])
                     pl_flat = jnp.moveaxis(payload, 1, 0).reshape(V, -1, P)
                     fr_flat = jnp.moveaxis(feat_rgb_dir, 1, 0).reshape(V, -1, F4)
                     sigma, feat = fused_bundle_nerf(
@@ -327,7 +363,7 @@ class Network(nn.Module):
                     sigma = sigma.reshape(B, Hc, W, S)
                     feat = feat.reshape(B, Hc, W, S, -1)
             else:
-                sigma, feat = head(enc.vox_feat, payload, feat_rgb_dir)
+                sigma, feat = head(vox_feat, payload, feat_rgb_dir)
 
             # 6. Composite per bundle (disparity accumulation when inv).
             sigma = maybe_shard(sigma, 1)
@@ -391,7 +427,7 @@ class Network(nn.Module):
         rgb_f = rgb_bundle.transpose(0, 1, 3, 2, 4, 5).reshape(
             B, H * b, W * b, 3
         )
-        rgb_c = Decoder(
+        rgb_c = DecoderM(
             out_channels=3,
             num_feats=64,
             num_layers=self.dec_layers,

@@ -115,3 +115,36 @@ def test_grad_clip_in_chain():
     updates, _ = tx.update(huge, state, params)
     # after value-clip to 40 the adam update must stay bounded
     assert np.all(np.abs(np.asarray(updates["w"])) < 2.0)
+
+
+def test_remat_matches_baseline(rng):
+    """remat=True must change nothing but memory: identical param tree,
+    matching loss and gradients (same graph, recomputed backward)."""
+    from gdb_nerf_tpu.train.step import make_loss_fn
+
+    batch = _train_batch(rng, H=32, W=32)
+    # Chunked (2 slabs) so the per-chunk jax.checkpoint path is exercised.
+    kw = dict(mvs_num_depth=(16, 8), max_num_samples=2, nerf_chunk_size=8 * 16)
+    net = Network(**kw)
+    net_r = Network(remat=True, **kw)
+    tx = optax.adam(1e-3)
+    state = init_train_state(net, tx, batch)
+    state_r = init_train_state(net_r, tx, batch)
+    assert jax.tree_util.tree_structure(state.params) == jax.tree_util.tree_structure(
+        state_r.params
+    ), "nn.remat changed the parameter tree"
+
+    def run(n):
+        loss_fn = make_loss_fn(n, [0.05], use_perceptual=False)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (loss, (_, stats)), grads = grad_fn(state.params, state.batch_stats, batch)
+        return float(loss), grads
+
+    loss0, g0 = run(net)
+    loss1, g1 = run(net_r)
+    assert abs(loss0 - loss1) < 1e-5 * max(1.0, abs(loss0))
+    err = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1))
+    )
+    assert err < 1e-4, f"remat grads diverge: {err}"

@@ -117,6 +117,19 @@ def main():
     real_reg_full = crn_mod.CostRegNet.__call__
     real_dec = dec_mod.Decoder.__call__
     real_head = head_mod.BundleNeRF.__call__
+    from gdb_nerf_tpu.models import feature_net as fpn_mod
+
+    real_fpn = fpn_mod.FeatureNet.__call__
+    real_mipfetch = bundles.mip_texture_fetch_packed
+    real_sample = bundles.sample_bundles
+
+    def mipfetch_mathonly(packed, offsets, base_hw, uv, lod, max_level):
+        """All the uv/lod coordinate math stays live; the gather rows and
+        the 4-tap lerp are replaced by a rank-1 combine — DCE removes only
+        the take + tap weights.  marginal(mip) - marginal(mipgather) is
+        then the pure LOD/coordinate-math cost."""
+        C = packed.shape[-1] // 4
+        return (lod + uv[..., 0] + uv[..., 1])[..., None] * packed[0, :C]
 
     def apply_model_knock(name):
         if name == "cvwarp":
@@ -130,6 +143,16 @@ def main():
             dec_mod.Decoder.__call__ = _zeroed(real_dec)
         elif name == "head":
             head_mod.BundleNeRF.__call__ = _zeroed(real_head)
+        elif name == "fpn":
+            fpn_mod.FeatureNet.__call__ = _zeroed(real_fpn)
+        elif name == "mipgather":
+            bundles.mip_texture_fetch_packed = mipfetch_mathonly
+        elif name == "samp":
+            bundles.sample_bundles = lambda *a, **k: jax.tree_util.tree_map(
+                jnp.zeros_like, real_sample(*a, **k)
+            )
+        else:
+            raise SystemExit(f"unknown knock: {name}")
 
     def clear_model_knocks():
         cv_mod.build_cost_volume = real_cv
@@ -137,6 +160,9 @@ def main():
         crn_mod.CostRegNet.__call__ = real_reg_full
         dec_mod.Decoder.__call__ = real_dec
         head_mod.BundleNeRF.__call__ = real_head
+        fpn_mod.FeatureNet.__call__ = real_fpn
+        bundles.mip_texture_fetch_packed = real_mipfetch
+        bundles.sample_bundles = real_sample
 
     def timed_frame():
         def run_n(n):

@@ -29,6 +29,12 @@ def main():
                     help="model compute_dtype (activations); training keeps "
                     "matmul precision 'highest' regardless — this probes "
                     "whether bf16 activations alone are a stable speedup")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the big submodules + encode chunk "
+                    "(required at the shipped 512x640 B=4 scale)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="nerf.chunk_size override (bundles per row slab); "
+                    "with --remat this bounds the bundle-stage backward peak")
     args = ap.parse_args()
 
     from gdb_nerf_tpu.runtime import cache
@@ -49,11 +55,13 @@ def main():
     )
 
     H, W = args.size
-    cfg = load_cfg(
-        "configs/dtu_pretrain.yaml",
-        ["synthetic", "True", "train.batch_size", str(args.batch),
-         "synthetic_hw", f"[{H},{W}]", "compute_dtype", args.dtype],
-    )
+    overrides = ["synthetic", "True", "train.batch_size", str(args.batch),
+                 "synthetic_hw", f"[{H},{W}]", "compute_dtype", args.dtype]
+    if args.remat:
+        overrides += ["remat", "True"]
+    if args.chunk:
+        overrides += ["nerf.chunk_size", str(args.chunk)]
+    cfg = load_cfg("configs/dtu_pretrain.yaml", overrides)
     print(
         f"device: {jax.devices()[0]}  B={args.batch}  {H}x{W}  {args.dtype}",
         flush=True,
