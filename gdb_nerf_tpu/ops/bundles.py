@@ -28,10 +28,13 @@ from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.grid_sample import (
     gather_patch_bilinear,
     grid_sample_3d_packed,
+    GATHER_ROW_CLIFF,
     pack_bilinear_2d,
+    pack_bilinear_2d_paired,
     pack_patch_2d,
     pack_trilinear_3d,
     sample_2d_packed_pix,
+    sample_2d_paired_pix,
 )
 from gdb_nerf_tpu.ops.mip import mip_texture_fetch_packed
 
@@ -190,10 +193,27 @@ def _fetch_vox(feat_volume: jax.Array, samples: BundleSamples) -> jax.Array:
     d0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, D - 1)
     d1 = jnp.minimum(d0 + 1, D - 1)
     w = (zc - d0.astype(zc.dtype))[..., None].astype(feat_volume.dtype)
-    base = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :])[..., None]
-    flat = feat_volume.reshape(D * H * W, C)
-    r0 = jnp.take(flat, d0 * (H * W) + base, axis=0)
-    r1 = jnp.take(flat, d1 * (H * W) + base, axis=0)
+    if D * H * W > GATHER_ROW_CLIFF and W % 2 == 0:
+        # The stage-1 volume table (D*H*W rows, e.g. 655k at DTU) sits past
+        # the gather row-rate cliff; fold x-pairs into 2C rows (the x grid
+        # is the static texel raster, so the parity pattern is static too).
+        W2 = W // 2
+        paired = feat_volume.reshape(D * H * W2, 2 * C)
+        base = (jnp.arange(H)[:, None] * W2 + (jnp.arange(W)[None, :] >> 1))[
+            ..., None
+        ]
+        odd = (jnp.arange(W) & 1).astype(feat_volume.dtype)[
+            None, :, None, None
+        ]  # (1, W, 1, 1) static checkerboard
+        r0 = jnp.take(paired, d0 * (H * W2) + base, axis=0)
+        r1 = jnp.take(paired, d1 * (H * W2) + base, axis=0)
+        r0 = r0[..., :C] * (1.0 - odd) + r0[..., C:] * odd
+        r1 = r1[..., :C] * (1.0 - odd) + r1[..., C:] * odd
+    else:
+        base = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :])[..., None]
+        flat = feat_volume.reshape(D * H * W, C)
+        r0 = jnp.take(flat, d0 * (H * W) + base, axis=0)
+        r1 = jnp.take(flat, d1 * (H * W) + base, axis=0)
     return r0 * (1.0 - w) + r1 * w
 
 
@@ -314,6 +334,10 @@ def encode_samples(
             rgbs = gather_patch_bilinear(
                 src_img, jnp.stack([cx, cy], axis=-1), ps=4
             )  # (H, W, S, bsq, 3)
+        elif paired:
+            rgbs = sample_2d_paired_pix(
+                src_img, cx, cy, padding_mode="border"
+            )  # (H, W, S, bsq, 3)
         else:
             rgbs = sample_2d_packed_pix(
                 src_img, cx, cy, padding_mode="border"
@@ -354,8 +378,21 @@ def encode_samples(
 
         return rgbs, mip_feat, ray_diff
 
+    # Past the measured TPU gather row-rate cliff (~460k rows the rate
+    # halves; tools/microbench_gather_cliff.py) fold x-anchor pairs into
+    # double-width rows: LLFF 640x960 and NeRF 800x800 sources sit past the
+    # cliff and recover the full ~300 M rows/s rate this way (1.8x measured
+    # end-to-end); DTU 512x640 (327k rows) stays on the flat layout.
+    H_src, W_src = src_images.shape[-3:-1]
+    paired = (
+        not member_patch
+        and H_src * W_src > GATHER_ROW_CLIFF
+        and W_src % 2 == 0
+    )
     if member_patch:
         src_packed = pack_patch_2d(src_images, 4)  # (V, H, W, 48)
+    elif paired:
+        src_packed = pack_bilinear_2d_paired(src_images)  # (V, H, W/2, 24)
     else:
         src_packed = pack_bilinear_2d(src_images)  # (V, H, W, 12)
     # Unrolled loop over views instead of vmap — the same fusion win as

@@ -198,6 +198,87 @@ def sample_2d_packed_pix(
     return top * wy0 + bot * wy1
 
 
+# Above ~460k rows the TPU gather row rate halves (measured cliff between
+# 458,752 and 491,520 rows at every row width up to 30 MB tables —
+# tools/microbench_gather_cliff.py).  Tables bigger than this are gathered
+# via the x-parity-paired layout below: half the rows, double the width
+# (row width is free), one cheap select after the fetch — measured 1.8x
+# end-to-end on the LLFF-sized member-RGB fetch.
+GATHER_ROW_CLIFF = 420_000
+
+
+def pack_bilinear_2d_paired(img: jax.Array) -> jax.Array:
+    """pack_bilinear_2d with adjacent x-anchors folded into one row.
+
+    out[y, k] = concat(pack[y, 2k], pack[y, 2k+1]) — shape (H, W//2, 8C).
+    Halves the gather-table row count (recovering the fast gather regime
+    for tables past GATHER_ROW_CLIFF) at the same total bytes; the sampler
+    selects the half by anchor parity after the fetch.  Requires even W.
+    """
+    H, W, C = img.shape[-3:]
+    assert W % 2 == 0, f"paired pack needs even W, got {W}"
+    packed = pack_bilinear_2d(img)
+    return packed.reshape(*packed.shape[:-3], H, W // 2, 8 * C)
+
+
+def sample_2d_paired_pix(
+    packed2: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    padding_mode: str = "border",
+) -> jax.Array:
+    """sample_2d_packed_pix over a pack_bilinear_2d_paired table.
+
+    Bit-identical taps and tent weights — only the row layout differs: the
+    row at (y, x>>1) holds both the even and odd anchor's 2x2 patch, and
+    the anchor's half is selected arithmetically by x&1 (measured cheaper
+    than a second gather or a where on this toolchain).
+
+    Args: packed2 (H, W//2, 8C); x, y (...,) index-space coords.
+    Returns: (..., C).
+    """
+    H, W2, C8 = packed2.shape
+    W = W2 * 2
+    C = C8 // 8
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+    elif padding_mode == "zeros":
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    else:
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+
+    bxf = bx.astype(x.dtype)
+    byf = by.astype(y.dtype)
+    wx1 = jnp.clip(1.0 - jnp.abs(x - (bxf + 1.0)), 0.0, 1.0)[..., None]
+    wx0 = jnp.clip(1.0 - jnp.abs(x - bxf), 0.0, 1.0)[..., None]
+    wy1 = jnp.clip(1.0 - jnp.abs(y - (byf + 1.0)), 0.0, 1.0)[..., None]
+    wy0 = jnp.clip(1.0 - jnp.abs(y - byf), 0.0, 1.0)[..., None]
+    wx0 = wx0.astype(packed2.dtype)
+    wx1 = wx1.astype(packed2.dtype)
+    wy0 = wy0.astype(packed2.dtype)
+    wy1 = wy1.astype(packed2.dtype)
+
+    rows = jnp.take(
+        packed2.reshape(H * W2, C8), by * W2 + (bx >> 1), axis=0
+    )
+    odd = (bx & 1).astype(packed2.dtype)[..., None]
+    even = 1.0 - odd
+    half = rows[..., : 4 * C] * even + rows[..., 4 * C :] * odd
+    v00 = half[..., 0 * C : 1 * C]
+    v01 = half[..., 1 * C : 2 * C]
+    v10 = half[..., 2 * C : 3 * C]
+    v11 = half[..., 3 * C : 4 * C]
+
+    top = v00 * wx0 + v01 * wx1
+    bot = v10 * wx0 + v11 * wx1
+    return top * wy0 + bot * wy1
+
+
 def pack_patch_2d(img: jax.Array, ps: int = 4) -> jax.Array:
     """Pre-pack ps x ps neighborhoods: out[y, x] = img[y+dy, x+dx] for
     dy, dx in row-major 0..ps-1, edge-replicated.

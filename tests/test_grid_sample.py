@@ -145,3 +145,49 @@ def test_gather_patch_bilinear_matches_grid_sample(rng):
     out = np.asarray(gather_patch_bilinear(packed, coords, 4))
     assert np.all(out >= float(img.min()) - 1e-6)
     assert np.all(out <= float(img.max()) + 1e-6)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_paired_pix_matches_packed_pix(rng, padding):
+    """x-parity-paired table fetch is bit-identical to the flat packed
+    fetch (same taps, same tent weights — only the row layout differs)."""
+    from gdb_nerf_tpu.ops.grid_sample import (
+        pack_bilinear_2d,
+        pack_bilinear_2d_paired,
+        sample_2d_packed_pix,
+        sample_2d_paired_pix,
+    )
+
+    H, W, C = 12, 16, 3
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    x = jnp.array((rng.uniform(-2, W + 1, (400,))).astype(np.float32))
+    y = jnp.array((rng.uniform(-2, H + 1, (400,))).astype(np.float32))
+    ref = sample_2d_packed_pix(pack_bilinear_2d(img), x, y, padding)
+    paired = pack_bilinear_2d_paired(img)
+    assert paired.shape == (H, W // 2, 8 * C)
+    ours = sample_2d_paired_pix(paired, x, y, padding)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_fetch_vox_paired_matches_flat(rng, monkeypatch):
+    """_fetch_vox's past-the-cliff paired-table branch == the flat branch."""
+    from gdb_nerf_tpu.ops import bundles
+
+    D, H, W, C = 5, 6, 8, 4
+    S = 3
+    vol = jnp.array(rng.standard_normal((D, H, W, C)).astype(np.float32))
+    uvd = jnp.array(
+        (rng.uniform(-1.2, 1.2, (H, W, S, 3))).astype(np.float32)
+    )
+    samples = bundles.BundleSamples(
+        z_vals=jnp.zeros((H, W, S)),
+        z_metric=jnp.zeros((H, W, S)),
+        valid=jnp.ones((H, W, S), bool),
+        uvd=uvd,
+        ball_radii=jnp.ones((H, W, S)),
+        samples_per_bundle=jnp.full((H, W), S),
+    )
+    flat = bundles._fetch_vox(vol, samples)
+    monkeypatch.setattr(bundles, "GATHER_ROW_CLIFF", 1)
+    paired = bundles._fetch_vox(vol, samples)
+    np.testing.assert_array_equal(np.asarray(paired), np.asarray(flat))

@@ -178,3 +178,21 @@ def test_chunked_render_matches_unchunked(rng):
             np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_network_paired_gather_tables_match_flat(rng, monkeypatch):
+    """Forcing the past-the-cliff paired gather layouts (member-RGB +
+    cost-volume tables; ops/grid_sample.py GATHER_ROW_CLIFF) must be
+    numerically identical to the flat layout — same taps, same weights."""
+    from gdb_nerf_tpu.ops import bundles
+
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    ret0, _, _ = net.apply(vars_, batch, train=False)
+    monkeypatch.setattr(bundles, "GATHER_ROW_CLIFF", 1)
+    ret1, _, _ = net.apply(vars_, batch, train=False)
+    for k in ["rgb", "nerf_depth", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=2e-6, atol=2e-6
+        )
