@@ -1,0 +1,105 @@
+"""Differential tests: D-folded 2D convs == 3D convs (ops/dfold.py).
+
+Each fold transform is checked against the corresponding lax 3D convolution
+on random tensors at stage-1-like (but tiny) shapes, including the odd-D
+banding boundaries, stride-2 downsampling, and the lhs-dilated transposed
+conv used by DeconvBlock.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from gdb_nerf_tpu.ops import dfold
+
+
+def _conv3d(x, w, strides=(1, 1, 1), padding="SAME", lhs_dilation=None,
+            pad_override=None):
+    return lax.conv_general_dilated(
+        x, w, strides, pad_override or padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _conv2d(x, w, strides=(1, 1), padding="SAME", lhs_dilation=None,
+            pad_override=None):
+    return lax.conv_general_dilated(
+        x, w, strides, pad_override or padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize("D", [4, 8])
+def test_fold_volume_roundtrip(rng, D):
+    x = jnp.asarray(rng.normal(size=(2, D, 5, 6, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(dfold.unfold_volume(dfold.fold_volume(x), D)),
+        np.asarray(x),
+    )
+
+
+@pytest.mark.parametrize("D", [4, 8])
+def test_fold_kernel_matches_3d_conv(rng, D):
+    Ci, Co = 3, 5
+    x = jnp.asarray(rng.normal(size=(2, D, 6, 7, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    ref = _conv3d(x, w)
+    got = dfold.unfold_volume(
+        _conv2d(dfold.fold_volume(x), dfold.fold_kernel(w, D)), D
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("D", [4, 8])
+def test_fold_kernel_strided_matches_3d_conv(rng, D):
+    Ci, Co = 3, 4
+    x = jnp.asarray(rng.normal(size=(1, D, 8, 6, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    # torch stride-2 pad-1 arithmetic (what ConvBlock uses).
+    ref = _conv3d(x, w, strides=(2, 2, 2), pad_override=[(1, 1)] * 3)
+    got = dfold.unfold_volume(
+        _conv2d(
+            dfold.fold_volume(x), dfold.fold_kernel_strided(w, D),
+            strides=(2, 2), pad_override=[(1, 1)] * 2,
+        ),
+        D // 2,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("D", [2, 4])
+def test_fold_kernel_deconv_matches_3d_deconv(rng, D):
+    Ci, Co = 3, 4
+    x = jnp.asarray(rng.normal(size=(1, D, 4, 5, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    # DeconvBlock's lhs-dilated transposed conv: out = 2 * in per dim.
+    ref = _conv3d(x, w, lhs_dilation=(2, 2, 2), pad_override=[(1, 2)] * 3)
+    got = dfold.unfold_volume(
+        _conv2d(
+            dfold.fold_volume(x), dfold.fold_kernel_deconv(w, D),
+            lhs_dilation=(2, 2), pad_override=[(1, 2)] * 2,
+        ),
+        2 * D,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_kernel_deconv_matches_subpixel(rng):
+    """The folded 2D deconv also runs through the subpixel lowering."""
+    from gdb_nerf_tpu.ops.fastconv import deconv_subpixel
+
+    D, Ci, Co = 4, 2, 3
+    x = jnp.asarray(rng.normal(size=(1, D, 4, 6, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    ref = _conv3d(x, w, lhs_dilation=(2, 2, 2), pad_override=[(1, 2)] * 3)
+    got = dfold.unfold_volume(
+        deconv_subpixel(dfold.fold_volume(x), dfold.fold_kernel_deconv(w, D)),
+        2 * D,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

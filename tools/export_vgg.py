@@ -38,15 +38,38 @@ def export_state_dict(features) -> dict:
     return out
 
 
-def main(out_path: str, random_init: bool = False) -> None:
-    import torchvision
+# VGG16 features[:23] conv shapes: blocks 2+2+3+3 (torchvision vgg16 cfg "D").
+_VGG16_CONV_CHANNELS = [
+    (3, 64), (64, 64), (64, 128), (128, 128),
+    (128, 256), (256, 256), (256, 256),
+    (256, 512), (512, 512), (512, 512),
+]
 
+
+def random_state_dict(seed: int = 0) -> dict:
+    """Structurally-identical random VGG16 weights, no torchvision needed."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for i, (ci, co) in enumerate(_VGG16_CONV_CHANNELS):
+        fan_in = 9 * ci
+        out[f"conv{i}_w"] = rng.normal(
+            0.0, np.sqrt(2.0 / fan_in), (3, 3, ci, co)
+        ).astype(np.float32)
+        out[f"conv{i}_b"] = np.zeros(co, np.float32)
+    return out
+
+
+def main(out_path: str, random_init: bool = False) -> None:
     # --random: export a randomly-initialized VGG16 — structurally identical
     # weights for exercising the perceptual code path end to end on
     # no-egress machines (metric values are then NOT protocol-comparable).
-    weights = None if random_init else "DEFAULT"
-    vgg = torchvision.models.vgg16(weights=weights).features[:23].eval()
-    out = export_state_dict(vgg)
+    if random_init:
+        out = random_state_dict()
+    else:
+        import torchvision
+
+        vgg = torchvision.models.vgg16(weights="DEFAULT").features[:23].eval()
+        out = export_state_dict(vgg)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     np.savez(out_path, **out)
     kind = "RANDOM-INIT" if random_init else "pretrained"
