@@ -54,6 +54,15 @@ class CostRegNet(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
         )
+        D = x.shape[1]
+        # Depth-folded eval path: at the shipped stage-1 shape (D=8) every
+        # level of this U-Net folds to a constant D_l*C_l = D*bc channels,
+        # so the whole net runs as 2D convs at full lane occupancy
+        # (2.85x/conv — PERF.md round 3; exact, same param tree).
+        if (not train) and layers.USE_DFOLD and D % 8 == 0 and D <= 16:
+            return self._folded(x, train, kw, skw, dkw=dict(
+                axis_name=self.axis_name, dtype=self.dtype))
+
         # Blocks are created in execution order so converted torch
         # checkpoints map onto ConvBlock_{i} sequentially.
         c0 = ConvBlock(bc, **kw)(x, train)
@@ -73,6 +82,43 @@ class CostRegNet(nn.Module):
         logits = _head_conv(1, self.dtype, "Conv_1")(up)[..., 0]
         prob = nn.softmax(logits.astype(jnp.float32), axis=1)  # over depth axis
         return feat, prob
+
+    def _folded(self, x, train, kw, skw, dkw):
+        """Same blocks, same creation order, depth-folded layouts."""
+        from gdb_nerf_tpu.ops import dfold
+
+        bc = self.base_channels
+        D = x.shape[1]
+        xf = dfold.fold_volume(x.astype(self.dtype))
+
+        c0 = ConvBlock(bc, **kw)(xf, train, fold_d=D)
+        d1 = ConvBlock(bc * 2, **skw)(c0, train, fold_d=D)
+        c2 = ConvBlock(bc * 2, **kw)(d1, train, fold_d=D // 2)
+        d3 = ConvBlock(bc * 4, **skw)(c2, train, fold_d=D // 2)
+        c4 = ConvBlock(bc * 4, **kw)(d3, train, fold_d=D // 4)
+        d5 = ConvBlock(bc * 8, **skw)(c4, train, fold_d=D // 4)
+        bott = ConvBlock(bc * 8, **kw)(d5, train, fold_d=D // 8)
+
+        up = c4 + DeconvBlock(bc * 4, **dkw)(bott, train, fold_d=D // 8)
+        up = c2 + DeconvBlock(bc * 2, **dkw)(up, train, fold_d=D // 4)
+        up = c0 + DeconvBlock(bc, **dkw)(up, train, fold_d=D // 2)
+
+        dt = self.dtype
+        feat_k = layers.KernelParam(
+            (3, 3, 3, bc, self.out_channels), name="Conv_0")()
+        prob_k = layers.KernelParam((3, 3, 3, bc, 1), name="Conv_1")()
+        feat = jax.lax.conv_general_dilated(
+            up, dfold.fold_kernel(feat_k, D).astype(dt), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        logits = jax.lax.conv_general_dilated(
+            up, dfold.fold_kernel(prob_k, D).astype(dt), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H, W, D)
+        prob = nn.softmax(
+            jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32), axis=1
+        )
+        return dfold.unfold_volume(feat, D), prob
 
 
 class CostRegNetSmall(nn.Module):

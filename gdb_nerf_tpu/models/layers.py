@@ -40,6 +40,31 @@ _mode = _os.environ.get("GDBN_FASTCONV", "deconv")
 USE_FAST_CONV = _mode in ("1", "conv")
 USE_FAST_DECONV = _mode in ("1", "deconv")
 
+# Depth-folded U-Net convs (ops/dfold.py): at eval, 3^3 convs over small-D
+# volumes run as 2D convs over (H, W, D*C) with banded dense kernels —
+# 2.85x per conv at the stage-1 shape (tools/microbench_chanpack.py).
+# Same op count, same param tree; exact up to bf16 reduction order.
+USE_DFOLD = _os.environ.get("GDBN_DFOLD", "1") == "1"
+
+
+def set_dfold(enabled: bool) -> None:
+    global USE_DFOLD
+    USE_DFOLD = enabled
+
+
+class KernelParam(nn.Module):
+    """Owns a conv kernel parameter under the same name/shape/init as
+    ``nn.Conv(use_bias=False)`` would, without binding the computation —
+    the folded conv paths read it and lower the conv themselves."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), tuple(self.shape)
+        )
+
 
 def set_fast_conv(enabled: bool, deconv: bool | None = None) -> None:
     global USE_FAST_CONV, USE_FAST_DECONV
@@ -59,10 +84,14 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool, fold_d: Optional[int] = None
+    ) -> jax.Array:
         ndim = len(self.kernel_size)
         strides = self.strides or (1,) * ndim
         pad = self.padding or (0,) * ndim
+        if fold_d is not None:
+            return self._folded(x, train, fold_d, tuple(strides))
         if USE_FAST_CONV:
             x = fastconv.FastConv(
                 self.features,
@@ -90,6 +119,44 @@ class ConvBlock(nn.Module):
         )(x)
         return nn.relu(x)
 
+    def _folded(self, x, train, fold_d, strides):
+        """Depth-folded lowering: x is (B, H, W, fold_d*C_in) d-major; the
+        3^3 conv runs as a 2D conv with the banded kernel (ops/dfold.py).
+        Param tree is identical to the 3D path (KernelParam mirrors
+        nn.Conv's 'Conv_0/kernel'; BN runs on a (..., d, C) view so its
+        (C,) stats reduce over (B, H, W, d) exactly like torch BN3d)."""
+        from gdb_nerf_tpu.ops import dfold
+
+        assert len(self.kernel_size) == 3 and tuple(self.kernel_size) == (
+            3, 3, 3,
+        ), self.kernel_size
+        assert tuple(self.padding or ()) == (1, 1, 1), self.padding
+        cin = x.shape[-1] // fold_d
+        w = KernelParam((3, 3, 3, cin, self.features), name="Conv_0")()
+        if strides == (1, 1, 1):
+            wk, s2, d_out = dfold.fold_kernel(w, fold_d), (1, 1), fold_d
+        else:
+            assert strides == (2, 2, 2), strides
+            wk = dfold.fold_kernel_strided(w, fold_d)
+            s2, d_out = (2, 2), fold_d // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            wk.astype(self.dtype),
+            s2,
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        B, H2, W2 = y.shape[0], y.shape[1], y.shape[2]
+        y = y.reshape(B, H2, W2, d_out, self.features)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(y)
+        return nn.relu(y).reshape(B, H2, W2, d_out * self.features)
+
 
 class DeconvBlock(nn.Module):
     """Transposed conv (k=3, s=2, p=1, op=1 torch arithmetic) + BN + ReLU.
@@ -107,15 +174,21 @@ class DeconvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool, fold_d: Optional[int] = None
+    ) -> jax.Array:
         x = x.astype(self.dtype)
         k, s, p, op = 3, 2, 1, 1
-        in_features = x.shape[-1]
+        in_features = (
+            x.shape[-1] if fold_d is None else x.shape[-1] // fold_d
+        )
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (k,) * self.ndim + (in_features, self.features),
         )
+        if fold_d is not None:
+            return self._folded(x, train, fold_d, kernel)
         if USE_FAST_DECONV:
             y = fastconv.deconv_subpixel(x, kernel.astype(x.dtype))
         else:
@@ -140,6 +213,39 @@ class DeconvBlock(nn.Module):
             dtype=self.dtype,
         )(y)
         return nn.relu(y)
+
+    def _folded(self, x, train, fold_d, kernel):
+        """Depth-folded transposed conv: the D-upsample becomes channel
+        structure (ops/dfold.py::fold_kernel_deconv); H/W keep the
+        lhs-dilated (or subpixel) 2D lowering.  Output is (B, 2H, 2W,
+        2*fold_d*features), d-major."""
+        from gdb_nerf_tpu.ops import dfold
+        from gdb_nerf_tpu.ops import fastconv as _fc
+
+        assert self.ndim == 3, self.ndim
+        wk = dfold.fold_kernel_deconv(kernel, fold_d).astype(x.dtype)
+        if USE_FAST_DECONV:
+            y = _fc.deconv_subpixel(x, wk)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                wk,
+                (1, 1),
+                [(1, 2), (1, 2)],
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        d_out = 2 * fold_d
+        B, H2, W2 = y.shape[0], y.shape[1], y.shape[2]
+        y = y.reshape(B, H2, W2, d_out, self.features)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(y)
+        return nn.relu(y).reshape(B, H2, W2, d_out * self.features)
 
 
 class MLP(nn.Module):

@@ -103,3 +103,31 @@ def test_fold_kernel_deconv_matches_subpixel(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cost_reg_net_folded_matches_3d(rng):
+    """The depth-folded CostRegNet path == the 3D path, from the SAME
+    variables (init under either path must produce the identical tree)."""
+    from gdb_nerf_tpu.models import layers
+    from gdb_nerf_tpu.models.cost_reg_net import CostRegNet
+
+    net = CostRegNet(out_channels=8, base_channels=8)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 24, 8)), jnp.float32)
+
+    layers.set_dfold(False)
+    try:
+        v3d = net.init(jax.random.PRNGKey(0), x, train=False)
+        feat3, prob3 = net.apply(v3d, x, train=False)
+        layers.set_dfold(True)
+        vf = net.init(jax.random.PRNGKey(0), x, train=False)
+        # identical param trees regardless of which path ran init
+        assert jax.tree_util.tree_structure(v3d) == jax.tree_util.tree_structure(vf)
+        for a, b in zip(jax.tree_util.tree_leaves(v3d), jax.tree_util.tree_leaves(vf)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        featf, probf = net.apply(v3d, x, train=False)
+    finally:
+        layers.set_dfold(True)
+    np.testing.assert_allclose(np.asarray(featf), np.asarray(feat3),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(probf), np.asarray(prob3),
+                               rtol=1e-4, atol=1e-5)
