@@ -143,13 +143,20 @@ class CostRegNetSmall(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
         )
+        dkw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        D = x.shape[1]
+        # Partial depth fold at eval (blocks of k=8 rows -> k*C = 64..256
+        # folded channels, conv stays 3D over D' = D/k): 1.7x per conv at
+        # the stage-0 shape (PERF.md round 3).  Needs D' to halve twice.
+        if (not train) and layers.USE_DFOLD and D % 32 == 0:
+            return self._block_folded(x, train, kw, skw, dkw, k=8)
+
         c0 = ConvBlock(bc, **kw)(x, train)
         d1 = ConvBlock(bc * 2, **skw)(c0, train)
         c2 = ConvBlock(bc * 2, **kw)(d1, train)
         d3 = ConvBlock(bc * 4, **skw)(c2, train)
         bott = ConvBlock(bc * 4, **kw)(d3, train)
 
-        dkw = dict(axis_name=self.axis_name, dtype=self.dtype)
         up = c2 + DeconvBlock(bc * 2, **dkw)(bott, train)
         up = c0 + DeconvBlock(bc, **dkw)(up, train)
 
@@ -157,3 +164,38 @@ class CostRegNetSmall(nn.Module):
         logits = _head_conv(1, self.dtype, "Conv_1")(up)[..., 0]
         prob = nn.softmax(logits.astype(jnp.float32), axis=1)
         return feat, prob
+
+    def _block_folded(self, x, train, kw, skw, dkw, k):
+        """Same blocks, same creation order, block-folded layouts."""
+        from gdb_nerf_tpu.ops import dfold
+
+        bc = self.base_channels
+        D = x.shape[1]
+        xf = dfold.fold_volume_block(x.astype(self.dtype), k)
+
+        c0 = ConvBlock(bc, **kw)(xf, train, fold_block=k)
+        d1 = ConvBlock(bc * 2, **skw)(c0, train, fold_block=k)
+        c2 = ConvBlock(bc * 2, **kw)(d1, train, fold_block=k)
+        d3 = ConvBlock(bc * 4, **skw)(c2, train, fold_block=k)
+        bott = ConvBlock(bc * 4, **kw)(d3, train, fold_block=k)
+
+        up = c2 + DeconvBlock(bc * 2, **dkw)(bott, train, fold_block=k)
+        up = c0 + DeconvBlock(bc, **dkw)(up, train, fold_block=k)
+
+        dt = self.dtype
+        feat_k = layers.KernelParam(
+            (3, 3, 3, bc, self.out_channels), name="Conv_0")()
+        prob_k = layers.KernelParam((3, 3, 3, bc, 1), name="Conv_1")()
+        feat = jax.lax.conv_general_dilated(
+            up, dfold.fold_kernel_block(feat_k, k).astype(dt), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        logits = jax.lax.conv_general_dilated(
+            up, dfold.fold_kernel_block(prob_k, k).astype(dt), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )  # (B, D', H, W, k*1)
+        prob = nn.softmax(
+            dfold.unfold_volume_block(logits, k)[..., 0].astype(jnp.float32),
+            axis=1,
+        )
+        return dfold.unfold_volume_block(feat, k), prob

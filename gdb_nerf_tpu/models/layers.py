@@ -85,13 +85,19 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool, fold_d: Optional[int] = None
+        self,
+        x: jax.Array,
+        train: bool,
+        fold_d: Optional[int] = None,
+        fold_block: Optional[int] = None,
     ) -> jax.Array:
         ndim = len(self.kernel_size)
         strides = self.strides or (1,) * ndim
         pad = self.padding or (0,) * ndim
         if fold_d is not None:
             return self._folded(x, train, fold_d, tuple(strides))
+        if fold_block is not None:
+            return self._block_folded(x, train, fold_block, tuple(strides))
         if USE_FAST_CONV:
             x = fastconv.FastConv(
                 self.features,
@@ -157,6 +163,39 @@ class ConvBlock(nn.Module):
         )(y)
         return nn.relu(y).reshape(B, H2, W2, d_out * self.features)
 
+    def _block_folded(self, x, train, k, strides):
+        """Partial depth fold: x is (B, D', H, W, k*C_in); the 3^3 conv
+        stays 3D over D' blocks with the block-banded kernel
+        (ops/dfold.py).  Output keeps the same k."""
+        from gdb_nerf_tpu.ops import dfold
+
+        assert tuple(self.kernel_size) == (3, 3, 3), self.kernel_size
+        assert tuple(self.padding or ()) == (1, 1, 1), self.padding
+        cin = x.shape[-1] // k
+        w = KernelParam((3, 3, 3, cin, self.features), name="Conv_0")()
+        if strides == (1, 1, 1):
+            wk = dfold.fold_kernel_block(w, k)
+        else:
+            assert strides == (2, 2, 2), strides
+            wk = dfold.fold_kernel_block_strided(w, k)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            wk.astype(self.dtype),
+            strides,
+            [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        B, Dp, H2, W2 = y.shape[:4]
+        y = y.reshape(B, Dp, H2, W2, k, self.features)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(y)
+        return nn.relu(y).reshape(B, Dp, H2, W2, k * self.features)
+
 
 class DeconvBlock(nn.Module):
     """Transposed conv (k=3, s=2, p=1, op=1 torch arithmetic) + BN + ReLU.
@@ -175,13 +214,16 @@ class DeconvBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool, fold_d: Optional[int] = None
+        self,
+        x: jax.Array,
+        train: bool,
+        fold_d: Optional[int] = None,
+        fold_block: Optional[int] = None,
     ) -> jax.Array:
         x = x.astype(self.dtype)
         k, s, p, op = 3, 2, 1, 1
-        in_features = (
-            x.shape[-1] if fold_d is None else x.shape[-1] // fold_d
-        )
+        fold = fold_d or fold_block
+        in_features = x.shape[-1] if fold is None else x.shape[-1] // fold
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -189,6 +231,8 @@ class DeconvBlock(nn.Module):
         )
         if fold_d is not None:
             return self._folded(x, train, fold_d, kernel)
+        if fold_block is not None:
+            return self._block_folded(x, train, fold_block, kernel)
         if USE_FAST_DECONV:
             y = fastconv.deconv_subpixel(x, kernel.astype(x.dtype))
         else:
@@ -246,6 +290,36 @@ class DeconvBlock(nn.Module):
             dtype=self.dtype,
         )(y)
         return nn.relu(y).reshape(B, H2, W2, d_out * self.features)
+
+    def _block_folded(self, x, train, k, kernel):
+        """Partial depth fold: transposed conv over (D', H, W) blocks with
+        the block-banded deconv kernel; output keeps the same k."""
+        from gdb_nerf_tpu.ops import dfold
+        from gdb_nerf_tpu.ops import fastconv as _fc
+
+        assert self.ndim == 3, self.ndim
+        wk = dfold.fold_kernel_block_deconv(kernel, k).astype(x.dtype)
+        if USE_FAST_DECONV:
+            y = _fc.deconv_subpixel(x, wk)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                wk,
+                (1, 1, 1),
+                [(1, 2)] * 3,
+                lhs_dilation=(2, 2, 2),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        B, Dp, H2, W2 = y.shape[:4]
+        y = y.reshape(B, Dp, H2, W2, k, self.features)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(y)
+        return nn.relu(y).reshape(B, Dp, H2, W2, k * self.features)
 
 
 class MLP(nn.Module):

@@ -96,3 +96,68 @@ def fold_kernel_deconv(w: jax.Array, D: int) -> jax.Array:
                 z = z.at[:, :, di * Ci:(di + 1) * Ci,
                          do * Co:(do + 1) * Co].set(w[t])
     return z
+
+
+# ---- Partial (block) folds: D = D' * k, conv stays 3D over D' blocks ----
+#
+# For stage 0 (D=64) a full 2D fold would need C=512 kernels (9.4 MB each,
+# rebuilt per apply); folding blocks of k=8 rows instead keeps the conv 3D
+# over D' = D/k with k*C folded channels — 1.7x per conv at the stage-0
+# shape (tools/microbench_chanpack.py dfold0).  Entry formulas below are
+# derived from row index algebra ri = s*ro + t - 1 (s = stride in D).
+
+
+def fold_volume_block(x: jax.Array, k: int) -> jax.Array:
+    """(B, D, H, W, C) -> (B, D//k, H, W, k*C), row-major within a block."""
+    B, D, H, W, C = x.shape
+    return x.reshape(B, D // k, k, H, W, C).transpose(0, 1, 3, 4, 2, 5).reshape(
+        B, D // k, H, W, k * C
+    )
+
+
+def unfold_volume_block(x: jax.Array, k: int) -> jax.Array:
+    """(B, D', H, W, k*C) -> (B, D'*k, H, W, C)."""
+    B, Dp, H, W, KC = x.shape
+    C = KC // k
+    return x.reshape(B, Dp, H, W, k, C).transpose(0, 1, 4, 2, 3, 5).reshape(
+        B, Dp * k, H, W, C
+    )
+
+
+def _block_kernel(w: jax.Array, k: int, t_of, dp_taps: int = 3) -> jax.Array:
+    """Populate a (dp_taps, kh, kw, k*Ci, k*Co) block kernel from the
+    (3, kh, kw, Ci, Co) 3D kernel; t_of(kb, ji, jo) gives the D tap (or an
+    out-of-range value for absent entries)."""
+    _, kh, kw, Ci, Co = w.shape
+    z = jnp.zeros((dp_taps, kh, kw, k * Ci, k * Co), w.dtype)
+    for kb in range(dp_taps):
+        for ji in range(k):
+            for jo in range(k):
+                t = t_of(kb, ji, jo)
+                if 0 <= t < 3:
+                    z = z.at[kb, :, :, ji * Ci:(ji + 1) * Ci,
+                             jo * Co:(jo + 1) * Co].set(w[t])
+    return z
+
+
+def fold_kernel_block(w: jax.Array, k: int) -> jax.Array:
+    """Stride-1 3^3 conv over folded blocks: ri = ro + t - 1 with
+    ri = (bo + kb - 1)*k + ji, ro = bo*k + jo."""
+    return _block_kernel(w, k, lambda kb, ji, jo: (kb - 1) * k + ji - jo + 1)
+
+
+def fold_kernel_block_strided(w: jax.Array, k: int) -> jax.Array:
+    """Stride-2-in-D 3^3 conv over folded blocks (D' also strided by 2):
+    ri = 2*ro + t - 1 with ri = (2*bo + kb - 1)*k + ji."""
+    return _block_kernel(
+        w, k, lambda kb, ji, jo: (kb - 1) * k + ji - 2 * jo + 1
+    )
+
+
+def fold_kernel_block_deconv(w: jax.Array, k: int) -> jax.Array:
+    """k3/s2 transposed conv over folded blocks (lhs-dilated over D',
+    pad (1, 2)): ri = (ro + t - 1)/2 with bi = (bo + kb - 1)/2 enforced by
+    the dilation -> t = (kb - 1)*k + 2*ji - jo + 1."""
+    return _block_kernel(
+        w, k, lambda kb, ji, jo: (kb - 1) * k + 2 * ji - jo + 1
+    )

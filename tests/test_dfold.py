@@ -131,3 +131,90 @@ def test_cost_reg_net_folded_matches_3d(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(probf), np.asarray(prob3),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("D,k", [(8, 4), (16, 8)])
+def test_fold_block_roundtrip(rng, D, k):
+    x = jnp.asarray(rng.normal(size=(2, D, 5, 6, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(dfold.unfold_volume_block(dfold.fold_volume_block(x, k), k)),
+        np.asarray(x),
+    )
+
+
+@pytest.mark.parametrize("D,k", [(8, 4), (16, 8)])
+def test_fold_kernel_block_matches_3d_conv(rng, D, k):
+    Ci, Co = 3, 4
+    x = jnp.asarray(rng.normal(size=(1, D, 6, 7, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    ref = _conv3d(x, w)
+    got = dfold.unfold_volume_block(
+        _conv3d(dfold.fold_volume_block(x, k), dfold.fold_kernel_block(w, k)),
+        k,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("D,k", [(8, 4), (16, 8)])
+def test_fold_kernel_block_strided_matches_3d_conv(rng, D, k):
+    Ci, Co = 3, 4
+    x = jnp.asarray(rng.normal(size=(1, D, 8, 6, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    ref = _conv3d(x, w, strides=(2, 2, 2), pad_override=[(1, 1)] * 3)
+    got = dfold.unfold_volume_block(
+        _conv3d(
+            dfold.fold_volume_block(x, k),
+            dfold.fold_kernel_block_strided(w, k),
+            strides=(2, 2, 2),
+            pad_override=[(1, 1)] * 3,
+        ),
+        k,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("D,k", [(4, 2), (8, 4)])
+def test_fold_kernel_block_deconv_matches_3d_deconv(rng, D, k):
+    Ci, Co = 2, 3
+    x = jnp.asarray(rng.normal(size=(1, D, 4, 5, Ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)), jnp.float32)
+    ref = _conv3d(x, w, lhs_dilation=(2, 2, 2), pad_override=[(1, 2)] * 3)
+    got = dfold.unfold_volume_block(
+        _conv3d(
+            dfold.fold_volume_block(x, k),
+            dfold.fold_kernel_block_deconv(w, k),
+            lhs_dilation=(2, 2, 2),
+            pad_override=[(1, 2)] * 3,
+        ),
+        k,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cost_reg_net_small_block_folded_matches_3d(rng):
+    """Block-folded CostRegNetSmall (stage-0) == 3D path, shared variables."""
+    from gdb_nerf_tpu.models import layers
+    from gdb_nerf_tpu.models.cost_reg_net import CostRegNetSmall
+
+    net = CostRegNetSmall(out_channels=8, base_channels=8)
+    x = jnp.asarray(rng.normal(size=(1, 32, 8, 12, 8)), jnp.float32)
+
+    layers.set_dfold(False)
+    try:
+        v3d = net.init(jax.random.PRNGKey(0), x, train=False)
+        feat3, prob3 = net.apply(v3d, x, train=False)
+        layers.set_dfold(True)
+        vf = net.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(v3d) == jax.tree_util.tree_structure(vf)
+        for a, b in zip(jax.tree_util.tree_leaves(v3d), jax.tree_util.tree_leaves(vf)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        featf, probf = net.apply(v3d, x, train=False)
+    finally:
+        layers.set_dfold(True)
+    np.testing.assert_allclose(np.asarray(featf), np.asarray(feat3),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(probf), np.asarray(prob3),
+                               rtol=1e-4, atol=1e-5)
