@@ -290,6 +290,23 @@ class Network(nn.Module):
                     rb_c.near,
                     rb_c.far,
                 )
+            if train:
+                # Cross the remat/vmap boundary in the packed
+                # (B, D, Hv, Wv*C) form: the backward accumulates the volume
+                # cotangent in this buffer's shape, and the 4D form's 8-lane
+                # channel axis padded it 16x (1.25 GB at the shipped 512x640
+                # B=4 recipe).  Row-major identical, so _fetch_vox's gather
+                # tables cost the same.  Packed OUTSIDE sample_encode so the
+                # checkpoint-boundary cotangent takes the packed shape.
+                Bv, Dv, Hv_, Wv_, Cv = feat_volume.shape
+                fv_boundary = feat_volume.reshape(
+                    Bv, Dv, Hv_, Wv_ * Cv
+                ).astype(cdtype)
+                vox_channels = Cv
+            else:
+                fv_boundary = feat_volume.astype(cdtype)
+                vox_channels = None
+
             def sample_encode(rb_c, dr_c, vr_c):
                 """Pure sample+encode+concat: everything between the MVS
                 outputs and the NeRF head.  Checkpointed under remat so the
@@ -314,10 +331,10 @@ class Network(nn.Module):
 
                 enc = unrolled_vmap(
                     bundles.encode_samples,
-                    (0, 0, 0, 0, 0, None, 0, 0, 0, None, None),
+                    (0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None),
                 )(rb_c, samples, src_images.astype(cdtype), img_feat, packed,
-                  pyr_offsets, feat_volume.astype(cdtype), src_exts, src_ints,
-                  self.max_mipmap_level, self.member_patch)
+                  pyr_offsets, fv_boundary, src_exts, src_ints,
+                  self.max_mipmap_level, self.member_patch, vox_channels)
                 if sharded:
                     # (rgbs, mip_feat, ray_diff) are (B, V, H, W, ...) -> H
                     # at axis 2; vox_feat is (B, H, W, ...) -> axis 1.

@@ -18,7 +18,7 @@ All functions are per-batch-element; vmap over batch at call sites.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -169,8 +169,20 @@ def sample_bundles(
     return BundleSamples(z_vals, z_metric, valid, uvd, ball_radii, spb)
 
 
-def _fetch_vox(feat_volume: jax.Array, samples: BundleSamples) -> jax.Array:
+def _fetch_vox(
+    feat_volume: jax.Array,
+    samples: BundleSamples,
+    vox_channels: Optional[int] = None,
+) -> jax.Array:
     """Voxel-aligned features for every bundle sample.
+
+    ``feat_volume`` is (D, Hv, Wv, C), or — when ``vox_channels`` is given —
+    the row-major-equivalent packed form (D, Hv, Wv*C).  The packed form is
+    free here (the gather tables below are row-major reshapes of either),
+    but it keeps the train-time cotangent buffer at the remat/vmap boundary
+    lane-aligned: the (B, D, H, W, 8) f32 accumulation buffer padded its
+    8-lane channel axis 16x (1.25 GB) and OOM'd the shipped 512x640 B=4
+    recipe.
 
     When the cost volume's spatial grid equals the bundle grid (the shipped
     configs: vol_scales[-1] == 1/bundle_size), the uvd xy coordinates are
@@ -180,10 +192,15 @@ def _fetch_vox(feat_volume: jax.Array, samples: BundleSamples) -> jax.Array:
     whose construction alone writes D*H*W*8C elements.  Falls back to the
     general packed trilinear path when the grids differ.
     """
-    D, Hv, Wv, C = feat_volume.shape
+    if vox_channels is not None and feat_volume.ndim == 3:
+        D, Hv, WC = feat_volume.shape
+        C = vox_channels
+        Wv = WC // C
+    else:
+        D, Hv, Wv, C = feat_volume.shape
     H, W, S = samples.z_vals.shape
     if (Hv, Wv) != (H, W):
-        vox_packed = pack_trilinear_3d(feat_volume)
+        vox_packed = pack_trilinear_3d(feat_volume.reshape(D, Hv, Wv, C))
         return grid_sample_3d_packed(
             vox_packed, samples.uvd, padding_mode="border"
         )
@@ -238,6 +255,7 @@ def encode_samples(
     src_ints: jax.Array,
     max_mipmap_level: int,
     member_patch: bool = False,
+    vox_channels: Optional[int] = None,
 ) -> EncodedSamples:
     """Sphere-based encoding of bundle samples from all source views.
 
@@ -255,7 +273,10 @@ def encode_samples(
       img_feat: (V, Hf, Wf, F) source feature+rgb maps at bundle resolution.
       packed_pyramid: (V, T, F) mip pyramid of img_feat packed by
         ops.mip.pack_pyramid; pyr_offsets: (levels,) per-level offsets.
-      feat_volume: (D, Hv, Wv, C) regularized cost volume (channels-last).
+      feat_volume: (D, Hv, Wv, C) regularized cost volume (channels-last),
+        or its packed (D, Hv, Wv*C) row-major-equivalent form when
+        ``vox_channels`` is set (see _fetch_vox — keeps the train-time
+        cotangent buffer lane-aligned).
       src_exts: (V, 4, 4), src_ints: (V, 3, 3) at original image resolution.
       max_mipmap_level: highest mip level to use.
       member_patch: fetch all b*b member-ray RGBs from ONE shared 4x4 patch
@@ -273,7 +294,7 @@ def encode_samples(
     b_size = int(round(bsq**0.5))
     Hf, Wf = img_feat.shape[1:3]
 
-    vox_feat = _fetch_vox(feat_volume, samples)
+    vox_feat = _fetch_vox(feat_volume, samples, vox_channels)
 
     # Bundle-center geometry.  Member-ray positions are never materialized:
     # since member k's direction is d_mean + off_k with a pixel-space offset

@@ -191,3 +191,32 @@ def test_fetch_vox_paired_matches_flat(rng, monkeypatch):
     monkeypatch.setattr(bundles, "GATHER_ROW_CLIFF", 1)
     paired = bundles._fetch_vox(vol, samples)
     np.testing.assert_array_equal(np.asarray(paired), np.asarray(flat))
+
+
+def test_fetch_vox_packed_matches_4d(rng, monkeypatch):
+    """_fetch_vox with the lane-aligned (D, H, W*C) packed volume == the
+    4D form, on both the flat and past-the-cliff paired branches."""
+    from gdb_nerf_tpu.ops import bundles
+
+    D, H, W, C = 5, 6, 8, 4
+    S = 3
+    vol = jnp.array(rng.standard_normal((D, H, W, C)).astype(np.float32))
+    packed = vol.reshape(D, H, W * C)
+    uvd = jnp.array(
+        (rng.uniform(-1.2, 1.2, (H, W, S, 3))).astype(np.float32)
+    )
+    samples = bundles.BundleSamples(
+        z_vals=jnp.zeros((H, W, S)),
+        z_metric=jnp.zeros((H, W, S)),
+        valid=jnp.ones((H, W, S), bool),
+        uvd=uvd,
+        ball_radii=jnp.ones((H, W, S)),
+        samples_per_bundle=jnp.full((H, W), S),
+    )
+    ref = bundles._fetch_vox(vol, samples)
+    got = bundles._fetch_vox(packed, samples, vox_channels=C)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    monkeypatch.setattr(bundles, "GATHER_ROW_CLIFF", 1)
+    ref_p = bundles._fetch_vox(vol, samples)
+    got_p = bundles._fetch_vox(packed, samples, vox_channels=C)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))

@@ -86,3 +86,37 @@ def test_smooth_l1_depth_masked():
     # fully masked-out -> zero loss, no NaN
     loss0, _ = losses.smooth_l1_depth(est, gt, [jnp.zeros((1, 4, 4))], [1.0])
     assert float(loss0) == 0.0
+
+
+def test_ssim_filter_custom_vjp_matches_autodiff_grad(rng):
+    """losses._filter's hand-written backward (symmetric-window forward
+    conv) == autodiff through the plain conv implementation."""
+    import jax
+    import jax.numpy as jnp
+    from gdb_nerf_tpu.train import losses
+
+    x = jnp.asarray(rng.normal(0.5, 0.2, (2, 12, 14, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(0.5, 0.2, (2, 12, 14, 3)), jnp.float32)
+    w = jnp.asarray(losses._WINDOW)
+
+    def ssim_with(filt, a, b):
+        mu1, mu2 = filt(a, w), filt(b, w)
+        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = filt(a * a, w) - mu1_sq
+        s2 = filt(b * b, w) - mu2_sq
+        s12 = filt(a * b, w) - mu12
+        C1, C2 = 0.01**2, 0.03**2
+        smap = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+            (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+        )
+        return jnp.mean(smap)
+
+    g_custom = jax.grad(lambda a: ssim_with(losses._filter, a, y))(x)
+    g_plain = jax.grad(lambda a: ssim_with(losses._filter_impl, a, y))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(losses.ssim(x, y)), float(ssim_with(losses._filter_impl, x, y)),
+        rtol=1e-6,
+    )
