@@ -29,6 +29,17 @@ from gdb_nerf_tpu.ops import bundles, mip, render
 from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.resize import resize_bilinear, resize_nearest
 
+import os as _os
+
+# Fused mip pyramid build+pack (dense-lane intermediates,
+# ops/mip.py::build_pack_pyramid).  Full-frame A/B at DTU 512x640 measures
+# it frame-neutral-to-slightly-negative (fused 47.0/47.5 ms vs naive
+# 46.3 ms, noise +-2-3 ms) despite a standalone build win (3.38 -> 3.11 ms,
+# tools/microbench_mipbuild.py) — the naive chain's padded intermediates
+# already fuse into the table writes at whole-program scale.  Default off;
+# GDBN_MIPBUILD=1 enables for A/B on larger-table configs.
+_MIPBUILD_FUSED = _os.environ.get("GDBN_MIPBUILD", "0") == "1"
+
 
 class Network(nn.Module):
     # FPN
@@ -256,11 +267,25 @@ class Network(nn.Module):
         src_small = unrolled_vmap(
             unrolled_vmap(lambda im: resize_bilinear(im, (H, W)), (0,)), (0,)
         )(src_images)
-        img_feat = jnp.concatenate(
-            [img_feat, src_small.astype(img_feat.dtype)], axis=-1
-        ).astype(cdtype)  # (B, V, H, W, F+3)
-        pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
-        packed, pyr_offsets = mip.pack_pyramid(pyramid)
+        if _MIPBUILD_FUSED:
+            # Fused pyramid build+pack (ops/mip.py::build_pack_pyramid):
+            # the (B, V, H, W, F+3) feat+rgb concat never materializes and
+            # every pyramid level stays in merged dense-lane form.  The
+            # `mippack` DCE knock (tools/ablate_frame.py) reads ~9 ms for
+            # the build+pack chain, but the knock also removes the table
+            # writes the fused form still pays: full-frame A/B is neutral
+            # (see _MIPBUILD_FUSED above), so this ships default-off.
+            packed, pyr_offsets = mip.build_pack_pyramid(
+                img_feat.astype(cdtype),
+                src_small.astype(cdtype),
+                self.max_mipmap_level,
+            )
+        else:
+            img_feat = jnp.concatenate(
+                [img_feat, src_small.astype(img_feat.dtype)], axis=-1
+            ).astype(cdtype)  # (B, V, H, W, F+3)
+            pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
+            packed, pyr_offsets = mip.pack_pyramid(pyramid)
 
         S = self.max_num_samples
         bsq = b * b

@@ -92,6 +92,93 @@ def pack_pyramid(levels: list[jax.Array]):
     return packed, offsets
 
 
+def build_pack_pyramid(feat: jax.Array, rgb: jax.Array, max_level: int):
+    """Fused pyramid build + 4C pack with dense-lane intermediates.
+
+    Produces exactly ``pack_pyramid(build_pyramid(concat([feat, rgb], -1),
+    max_level))`` but never materializes a (..., H, W, C) level tensor:
+    the (..., 19)-channel bf16 intermediates of the naive chain pad to 128
+    lanes on TPU (~6.7x physical traffic), which made the build+pack chain
+    ~9 ms of the 50.5 ms DTU frame (tools/ablate_frame.py ``mippack``
+    knock) vs a ~4 ms table-write floor.  Here every intermediate level
+    lives in merged ``(..., H_l, W_l * C)`` dense-lane form; the padded
+    write happens once per level, at the (T_l, 4C) gather table the fetch
+    actually needs.
+
+    Level 0's pack reads ``feat`` and ``rgb`` directly through an 8-way
+    concat (channel order [f, r, f_r, r_r, f_d, r_d, f_dr, r_dr] ==
+    pack_bilinear_2d of the concat), and level 1's merged form is derived
+    from ``feat``/``rgb`` in the same fused pass — the 19-channel level-0
+    concat of the naive chain never exists.
+
+    Args:
+      feat: (..., H, W, F) source features at bundle resolution.
+      rgb: (..., H, W, Crgb) resized source RGB.
+      max_level: reduction levels; H and W must divide 2**max_level.
+
+    Returns:
+      (packed, offsets) — identical contract to ``pack_pyramid``:
+      packed (..., T, 4C) with T = sum of level texel counts, offsets
+      (max_level+1,) int32 flat index of each level's first texel.
+    """
+    import numpy as np
+
+    *lead, H, W, F = feat.shape
+    C = F + rgb.shape[-1]
+    assert H % (1 << max_level) == 0 and W % (1 << max_level) == 0
+
+    def shift_right(t):
+        return jnp.concatenate([t[..., :, 1:, :], t[..., :, -1:, :]], axis=-2)
+
+    def shift_down(t):
+        return jnp.concatenate([t[..., 1:, :, :], t[..., -1:, :, :]], axis=-3)
+
+    def flat(p):
+        return p.reshape(*lead, -1, p.shape[-1])
+
+    # Level 0 pack: 8-way concat reading feat/rgb directly.
+    fr, rr = shift_right(feat), shift_right(rgb)
+    fd, rd = shift_down(feat), shift_down(rgb)
+    fdr, rdr = shift_right(fd), shift_right(rd)
+    packs = [
+        jnp.concatenate([feat, rgb, fr, rr, fd, rd, fdr, rdr], axis=-1)
+    ]
+
+    def avg_pool_merged(t, Hl, Wl):
+        """(..., Hl, Wl, C) view -> next level in merged dense form."""
+        mm = t.reshape(*lead, Hl, Wl // 2, 2 * C)
+        xa = (mm[..., :C] + mm[..., C:]) * 0.5
+        ya = (xa[..., 0::2, :, :] + xa[..., 1::2, :, :]) * 0.5
+        return ya.reshape(*lead, Hl // 2, (Wl // 2) * C)
+
+    # Level 1 merged, derived straight from feat/rgb (fused 2x2 means).
+    def avg22(t):
+        *ld, Hl, Wl, Ct = t.shape
+        return t.reshape(*ld, Hl // 2, 2, Wl // 2, 2, Ct).mean(axis=(-4, -2))
+
+    if max_level >= 1:
+        m = jnp.concatenate([avg22(feat), avg22(rgb)], axis=-1).reshape(
+            *lead, H // 2, (W // 2) * C
+        )
+        Hl, Wl = H // 2, W // 2
+        for l in range(1, max_level + 1):
+            t = m.reshape(*lead, Hl, Wl, C)
+            td = shift_down(t)
+            packs.append(
+                jnp.concatenate(
+                    [t, shift_right(t), td, shift_right(td)], axis=-1
+                )
+            )
+            if l < max_level:
+                m = avg_pool_merged(t, Hl, Wl)
+                Hl, Wl = Hl // 2, Wl // 2
+
+    packed = jnp.concatenate([flat(p) for p in packs], axis=-2)
+    sizes = [(H >> l) * (W >> l) for l in range(max_level)]
+    offsets = jnp.asarray(np.cumsum([0] + sizes), jnp.int32)
+    return packed, offsets
+
+
 def mip_texture_fetch_packed(
     packed: jax.Array,
     offsets: jax.Array,

@@ -116,3 +116,24 @@ def test_resize_nearest_matches_torch(rng):
         torch.from_numpy(img.transpose(2, 0, 1))[None], size=(5, 9), mode="nearest"
     )[0].numpy()
     np.testing.assert_allclose(ours, ref.transpose(1, 2, 0), rtol=1e-6)
+
+
+def test_resize_bilinear_integer_factor_fast_path(rng):
+    """The strided-slice integer-factor downscale must match both the torch
+    protocol and the general grid path (which it replaces on the frame's
+    src_small resize)."""
+    from gdb_nerf_tpu.ops.resize import resize_bilinear
+
+    img = rng.standard_normal((16, 24, 3)).astype(np.float32)
+    for out in [(8, 12), (4, 6), (8, 8), (16, 3)]:
+        ours = np.asarray(resize_bilinear(jnp.asarray(img), out))
+        ref = F.interpolate(
+            torch.from_numpy(img.transpose(2, 0, 1))[None],
+            size=out,
+            mode="bilinear",
+            align_corners=False,
+        )[0].numpy()
+        np.testing.assert_allclose(
+            ours, ref.transpose(1, 2, 0), rtol=1e-5, atol=1e-6,
+            err_msg=str(out),
+        )

@@ -110,3 +110,50 @@ def test_packed_fetch_batched_vmap(rng):
         lambda p, u, l: mip.mip_texture_fetch_packed(p, offsets, (8, 8), u, l, 2)
     )(packed, uv, lod)
     assert out.shape == (3, 20, 2)
+
+
+def test_build_pack_pyramid_matches_naive_chain(rng):
+    """Fused dense-lane build (ops/mip.py::build_pack_pyramid) ==
+    pack_pyramid(build_pyramid(concat)) — f32 to 1 ulp, bf16 to one
+    rounding step (pairwise vs 4-way level averaging)."""
+    feat = jnp.array(rng.uniform(0, 1, (2, 32, 48, 16)).astype(np.float32))
+    rgb = jnp.array(rng.uniform(0, 1, (2, 32, 48, 3)).astype(np.float32))
+    ref, off_ref = mip.pack_pyramid(
+        mip.build_pyramid(jnp.concatenate([feat, rgb], axis=-1), 3)
+    )
+    got, off = mip.build_pack_pyramid(feat, rgb, 3)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(off_ref))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+    fb, rb = feat.astype(jnp.bfloat16), rgb.astype(jnp.bfloat16)
+    ref_b, _ = mip.pack_pyramid(
+        mip.build_pyramid(jnp.concatenate([fb, rb], axis=-1), 3)
+    )
+    got_b, _ = mip.build_pack_pyramid(fb, rb, 3)
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32),
+        np.asarray(ref_b, np.float32),
+        atol=8e-3,
+    )
+
+
+def test_build_pack_pyramid_fetch_equivalence(rng):
+    """End-to-end: fetching from the fused-build table == fetching from the
+    naive-chain table at random uv/lod."""
+    import jax
+
+    feat = jnp.array(rng.uniform(0, 1, (16, 24, 5)).astype(np.float32))
+    rgb = jnp.array(rng.uniform(0, 1, (16, 24, 3)).astype(np.float32))
+    p0, off = mip.pack_pyramid(
+        mip.build_pyramid(jnp.concatenate([feat, rgb], axis=-1), 3)
+    )
+    p1, _ = mip.build_pack_pyramid(feat, rgb, 3)
+    r2 = np.random.default_rng(11)
+    uv = jnp.array(r2.uniform(-0.1, 1.1, (200, 2)), jnp.float32)
+    lod = jnp.array(r2.uniform(0.0, 3.0, (200,)), jnp.float32)
+    a = mip.mip_texture_fetch_packed(p0, off, (16, 24), uv, lod, 3)
+    b = mip.mip_texture_fetch_packed(p1, off, (16, 24), uv, lod, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)

@@ -196,3 +196,24 @@ def test_network_paired_gather_tables_match_flat(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=2e-6, atol=2e-6
         )
+
+
+def test_network_fused_mipbuild_matches_naive(rng, monkeypatch):
+    """The fused mip pyramid build+pack (ops/mip.py::build_pack_pyramid,
+    GDBN_MIPBUILD toggle) must leave the eval forward numerically unchanged
+    vs the naive concat -> build_pyramid -> pack_pyramid chain (f32; the two
+    differ only in level-averaging association order)."""
+    from gdb_nerf_tpu.models import network as net_mod
+
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    monkeypatch.setattr(net_mod, "_MIPBUILD_FUSED", True)
+    ret0, _, _ = net.apply(vars_, batch, train=False)
+    monkeypatch.setattr(net_mod, "_MIPBUILD_FUSED", False)
+    ret1, _, _ = net.apply(vars_, batch, train=False)
+    for k in ["rgb", "nerf_depth", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )

@@ -119,9 +119,26 @@ def main():
     real_head = head_mod.BundleNeRF.__call__
     from gdb_nerf_tpu.models import feature_net as fpn_mod
 
+    from gdb_nerf_tpu.models import network as net_mod
+    from gdb_nerf_tpu.ops import mip as mip_mod
+
     real_fpn = fpn_mod.FeatureNet.__call__
     real_mipfetch = bundles.mip_texture_fetch_packed
     real_sample = bundles.sample_bundles
+    real_pack = mip_mod.pack_pyramid
+
+    def pack_dummy(levels):
+        """Keeps the mip FETCH live but kills the pyramid BUILD: the packed
+        table becomes a broadcast of one level-0 scalar, so XLA DCEs the
+        build_pyramid reductions and the 4C pack writes while the gathers,
+        tap lerps, and LOD math still execute at full size.
+        marginal(mip) - marginal(mippack) - marginal(mipgather-ish overlap)
+        attributes the build separately from the fetch."""
+        import jax.numpy as jnp
+
+        packed, offs = real_pack(levels)
+        seed = levels[0].reshape(-1)[0].astype(packed.dtype)
+        return jnp.broadcast_to(seed, packed.shape), offs
 
     def mipfetch_mathonly(packed, offsets, base_hw, uv, lod, max_level):
         """All the uv/lod coordinate math stays live; the gather rows and
@@ -147,6 +164,9 @@ def main():
             fpn_mod.FeatureNet.__call__ = _zeroed(real_fpn)
         elif name == "mipgather":
             bundles.mip_texture_fetch_packed = mipfetch_mathonly
+        elif name == "mippack":
+            mip_mod.pack_pyramid = pack_dummy
+            net_mod.mip.pack_pyramid = pack_dummy
         elif name == "samp":
             bundles.sample_bundles = lambda *a, **k: jax.tree_util.tree_map(
                 jnp.zeros_like, real_sample(*a, **k)
@@ -163,6 +183,8 @@ def main():
         fpn_mod.FeatureNet.__call__ = real_fpn
         bundles.mip_texture_fetch_packed = real_mipfetch
         bundles.sample_bundles = real_sample
+        mip_mod.pack_pyramid = real_pack
+        net_mod.mip.pack_pyramid = real_pack
 
     def timed_frame():
         def run_n(n):
