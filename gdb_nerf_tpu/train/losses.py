@@ -108,10 +108,15 @@ _VGG_BLOCKS = [2, 2, 3, 3]
 def vgg_perceptual(img1: jax.Array, img2: jax.Array) -> jax.Array:
     """L1 feature distance over VGG16 blocks; 0 if weights unavailable.
 
-    Rematerialized: at the shipped 512x640 B=4 recipe the stored VGG
-    activations alone exceed HBM (measured: 16.52G needed of 15.75G, with
-    ~3.8G of f32 VGG block temps) — jax.checkpoint recomputes them in the
-    backward pass instead.
+    Rematerialized AND batch-chunked: at the shipped 512x640 B=4 recipe the
+    stored VGG activations alone exceed HBM (measured: 16.52G needed of
+    15.75G, with ~3.8G of f32 VGG block temps).  jax.checkpoint alone is
+    not enough — the backward recompute still materializes all B samples'
+    block taps at once (train_net.py at the shipped recipe OOM'd on it
+    while the perceptual-off step fit) — so the checkpointed loss runs
+    per-sample under lax.map: peak extra memory is ONE sample's VGG
+    forward.  Per-sample means average to the whole-batch mean exactly
+    (equal-size chunks), so the value is unchanged.
     """
     w = _vgg_weights()
     if w is None:
@@ -143,6 +148,11 @@ def vgg_perceptual(img1: jax.Array, img2: jax.Array) -> jax.Array:
             acc = acc + jnp.mean(jnp.abs(a - b))
         return acc
 
+    if img1.ndim == 4 and img1.shape[0] > 1:
+        per_sample = jax.lax.map(
+            lambda pair: _loss(pair[0][None], pair[1][None]), (img1, img2)
+        )
+        return jnp.mean(per_sample)
     return _loss(img1, img2)
 
 
