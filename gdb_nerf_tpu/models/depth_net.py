@@ -175,7 +175,7 @@ class DepthNet(nn.Module):
 
             volume = unrolled_vmap(
                 lambda f, se, si, te, ti, dv: cost_volume.build_cost_volume(
-                    f, se, si, te, ti, dv, inv
+                    f, se, si, te, ti, dv, inv, sequential=train
                 ),
                 (0, 0, 0, 0, 0, 0),
             )(

@@ -85,6 +85,7 @@ def build_cost_volume(
     tar_int: jax.Array,
     depth_values: jax.Array,
     inv_depth: bool,
+    sequential: bool = False,
 ) -> jax.Array:
     """Variance-metric plane-sweep cost volume over all source views.
 
@@ -96,6 +97,15 @@ def build_cost_volume(
       tar_int: (3, 3) target intrinsics (already scaled to volume res).
       depth_values: (D, Ht, Wt) hypothesis values (disparity if inv_depth).
       inv_depth: whether depth_values are disparities.
+      sequential: accumulate views with a lax.scan whose body is
+        jax.checkpoint'ed instead of the unrolled python loop.  Training
+        only: under reverse-mode AD the unrolled loop keeps every view's
+        packed-gather select temps alive at once inside the rematted
+        backward (f32 (D, Ht, Wt, 4C) each — the 512x640 B=4 recipe OOM'd
+        by 0.5 GB with ~20 such 192 MB temps); a scan's backward runs one
+        iteration at a time, so the peak is one view's warp.  Eval keeps
+        the unrolled form (forward-only frees temps as consumed, and the
+        unrolled loop fuses better — PERF.md round-2).
 
     Returns:
       (D, Ht, Wt, C) per-hypothesis feature variance across views.
@@ -106,6 +116,24 @@ def build_cost_volume(
         lambda e, k: camera.plane_sweep_projection(e, k, tar_ext, tar_int)
     )(src_exts, src_ints)  # (V, 3, 4)
     packed = pack_bilinear_2d(src_feats)  # (V, Hs, Ws, 4C)
+    if sequential:
+        D, Ht, Wt = metric_depth.shape
+        C = src_feats.shape[-1]
+        zeros = jnp.zeros((D, Ht, Wt, C), jnp.float32)
+
+        warp32 = jax.checkpoint(
+            lambda p, r, md: warp_src_to_volume(p, r, md).astype(jnp.float32)
+        )
+
+        def body(carry, xs):
+            s1, s2 = carry
+            pk, pr = xs
+            w = warp32(pk, pr, metric_depth)
+            return (s1 + w, s2 + w * w), None
+
+        (s1, s2), _ = jax.lax.scan(body, (zeros, zeros), (packed, projs))
+        mean = s1 / V
+        return (s2 / V - mean * mean).astype(src_feats.dtype)
     # Accumulate the two moments with an unrolled python loop over views
     # instead of vmap + mean over a materialized (V, D, Ht, Wt, C) tensor:
     # XLA then fuses each view's interpolation directly into the fp32

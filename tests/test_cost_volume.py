@@ -153,6 +153,42 @@ def test_build_cost_volume_matches_spec(rng):
     )
 
 
+def test_build_cost_volume_sequential_matches_unrolled(rng):
+    """The training-only scan+checkpoint view accumulation (used so the
+    rematted backward holds one view's warp temps at a time) must match the
+    unrolled eval path in both value and gradients."""
+    Hs, Ws, C = 20, 28, 6
+    Ht, Wt, D = 10, 14, 5
+    V = 3
+    tar_ext, tar_K = random_camera(rng, Ht, Wt)
+    cams = [random_camera(rng, Hs, Ws) for _ in range(V)]
+    src_exts = jnp.array(np.stack([c[0] for c in cams]))
+    src_ints = jnp.array(np.stack([c[1] for c in cams]))
+    feats = jnp.array(rng.standard_normal((V, Hs, Ws, C)).astype(np.float32))
+    dv = jnp.array(
+        np.linspace(2.0, 6.0, D, dtype=np.float32)[:, None, None]
+        * np.ones((D, Ht, Wt), dtype=np.float32)
+    )
+    cot = jnp.array(rng.standard_normal((D, Ht, Wt, C)).astype(np.float32))
+
+    def loss(f, d, seq):
+        vol = cost_volume.build_cost_volume(
+            f, src_exts, src_ints, jnp.array(tar_ext), jnp.array(tar_K),
+            d, inv_depth=False, sequential=seq,
+        )
+        return jnp.sum(vol * cot)
+
+    v_u, g_u = jax.value_and_grad(loss, argnums=(0, 1))(feats, dv, False)
+    v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(feats, dv, True)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-5)
+    for gs, gu in zip(g_s, g_u):
+        # scan vs unrolled accumulate in a different association order;
+        # grads agree to float32 summation noise.
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gu), rtol=1e-3, atol=3e-5
+        )
+
+
 @pytest.mark.parametrize("inv_depth", [False, True])
 def test_depth_regression(rng, inv_depth):
     D, H, W = 16, 6, 8
