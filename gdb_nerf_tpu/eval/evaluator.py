@@ -71,6 +71,16 @@ class Evaluator:
                     cv2.cvtColor(pred_rgb[b], cv2.COLOR_RGB2BGR) * 255
                 ).clip(0, 255).astype(np.uint8)
                 cv2.imwrite(path, img)
+                if "nerf_depth" in output:
+                    # colormapped depth alongside the RGB dump — the
+                    # reference's visualize_depth_numpy viz
+                    # (/root/reference/utils/img_utils.py:143-157)
+                    from gdb_nerf_tpu.utils.img import visualize_depth_numpy
+
+                    dvis, _ = visualize_depth_numpy(
+                        np.asarray(output["nerf_depth"])[b]
+                    )
+                    cv2.imwrite(path[:-4] + "_depth.png", dvis)
 
             mask = masks[b] == 1
             gt = gt_rgb[b].copy()

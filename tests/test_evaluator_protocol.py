@@ -79,3 +79,43 @@ def test_lpips_absent_when_disabled(tmp_path, rng):
     ev.evaluate(output, batch)
     ret = ev.summarize()
     assert "lpips" not in ret  # off is off — no marker, no metric
+
+
+def test_visualize_depth_numpy_matches_reference_semantics():
+    """Port check vs /root/reference/utils/img_utils.py:143-157: nan->0,
+    auto range = (min positive, max), JET colormap, returned minmax."""
+    import cv2
+
+    from gdb_nerf_tpu.utils.img import visualize_depth_numpy
+
+    depth = np.array(
+        [[0.0, 2.0, np.nan], [4.0, 6.0, 3.0]], np.float32
+    )
+    vis, (mi, ma) = visualize_depth_numpy(depth)
+    assert (mi, ma) == (2.0, 6.0)  # zeros/background excluded from min
+    assert vis.shape == (2, 3, 3) and vis.dtype == np.uint8
+    # Byte-exact vs the reference formula, except below-range values clamp
+    # to 0 instead of the reference's undefined negative-float->uint8 cast
+    # (background zeros there wrap to arbitrary bytes; documented deviation).
+    x = np.nan_to_num(depth)
+    x = (np.clip((x - mi) / (ma - mi + 1e-8), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(vis, cv2.applyColorMap(x, cv2.COLORMAP_JET))
+    # Explicit minmax is honored (shared scale across frames).
+    _, back = visualize_depth_numpy(depth, minmax=(0.0, 10.0))
+    assert back == [0.0, 10.0]
+
+
+def test_save_result_writes_depth_viz(tmp_path, rng):
+    cfg = _cfg(tmp_path)
+    cfg.eval_lpips = False
+    cfg.save_result = True
+    ev = Evaluator(cfg)
+    batch, output = _batch_and_output(rng)
+    output["nerf_depth"] = rng.uniform(1.0, 5.0, size=(1, 24, 32)).astype(
+        np.float32
+    )
+    ev.evaluate(output, batch)
+    import os
+
+    files = sorted(os.listdir(cfg.result_dir))
+    assert "scan1_0_0.png" in files and "scan1_0_0_depth.png" in files
