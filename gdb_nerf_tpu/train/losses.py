@@ -96,7 +96,26 @@ def _vgg_weights():
         print(f"[losses] VGG16 weights not found at {path}; perceptual term off")
         return None
     data = dict(np.load(path))
-    return {k: jnp.asarray(v) for k, v in data.items()}
+    # Provenance check: all-zero biases are the fingerprint of
+    # tools/export_vgg.py::random_state_dict (the no-egress fallback), not
+    # pretrained torchvision VGG16 (every pretrained conv bias is nonzero).
+    # Fixed random conv features still carry perceptual signal, but the
+    # term is NOT the reference's ImageNet-VGG loss
+    # (/root/reference/train/losses/vgg_perceptual_loss.py:9-12) — say so
+    # loudly every run rather than silently training against it.
+    if all(np.all(data[f"conv{i}_b"] == 0.0) for i in range(10)):
+        print(
+            "[losses] WARNING: vgg16.npz is the RANDOM-weights fallback "
+            "(fixed random features, not pretrained VGG16). Export real "
+            "weights with tools/export_vgg.py on a machine with "
+            "torchvision and replace the file. See WEIGHTS.md."
+        )
+    # Cache NUMPY arrays, not jnp: this function can first run inside a jit/
+    # shard_map trace, where jnp.asarray yields trace-local constants — an
+    # lru_cache of those leaks tracers into every later trace
+    # (UnexpectedTracerError on the 2nd compile).  numpy operands are
+    # converted to fresh per-trace constants by JAX at use sites.
+    return data
 
 
 _VGG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
