@@ -99,6 +99,12 @@ class Network(nn.Module):
     # pass and tent-weight einsums cost more.  Kept for wider-bundle
     # configs (b=4 -> 16x row reduction) and row-rate-bound hardware.
     member_patch: bool = False
+    # Attach sampling diagnostics to ret: 'spb' = per-bundle adaptive sample
+    # counts (B, H/b, W/b).  The dense masked layout pays max_num_samples
+    # for every bundle regardless of spb (ops/bundles.py::sample_bundles);
+    # mean(spb)/S is the fill factor that bounds what bundle compaction
+    # could save.  Off in shipped configs — measurement only.
+    debug_outputs: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any, axis_name: Optional[str] = None) -> "Network":
@@ -289,6 +295,7 @@ class Network(nn.Module):
 
         S = self.max_num_samples
         bsq = b * b
+        spb_acc: list = []  # populated per row-chunk when debug_outputs
         head = BundleNeRFM(
             self.nerf_hidden_dims,
             self.mvs_voxel_dim,
@@ -382,6 +389,8 @@ class Network(nn.Module):
             samples, vox_feat, payload, feat_rgb_dir = sample_encode(
                 rb_c, dr_c, vr_c
             )
+            if self.debug_outputs:
+                spb_acc.append(samples.samples_per_bundle)
             Hc = rb_c.bundle_dirs.shape[1]
 
             # 5. Bundle NeRF over every sample.  The heads take the view
@@ -494,4 +503,10 @@ class Network(nn.Module):
             "mvs_depth": mvs_depth,
             "opacity": opacity,
         }
+        if self.debug_outputs and spb_acc:
+            ret["spb"] = (
+                spb_acc[0]
+                if len(spb_acc) == 1
+                else jnp.concatenate(spb_acc, axis=1)
+            )
         return ret, mvs["depths"], mvs["blend_rgbs"]

@@ -160,6 +160,27 @@ def test_network_adaptive_sampling(rng):
     assert np.isfinite(np.asarray(ret["rgb"])).all()
 
 
+def test_network_debug_outputs_spb(rng):
+    """debug_outputs attaches per-bundle adaptive sample counts, including
+    across row chunks, without changing the render."""
+    import dataclasses
+
+    batch = make_synthetic_batch(rng, B=1, V=2, H=64, W=64)
+    net = Network(is_adaptive=True, **TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    ref, _, _ = net.apply(vars_, batch, train=False)
+
+    dbg = dataclasses.replace(net, debug_outputs=True, nerf_chunk_size=256)
+    ret, _, _ = dbg.apply(vars_, batch, train=False)
+    b = net.bundle_size
+    assert ret["spb"].shape == (1, 64 // b, 64 // b)
+    spb = np.asarray(ret["spb"])
+    assert ((spb >= 1) & (spb <= net.max_num_samples)).all()
+    np.testing.assert_allclose(
+        np.asarray(ret["rgb"]), np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_chunked_render_matches_unchunked(rng):
     """nerf_chunk_size row-chunking is output-invariant (the reference's
     cfg.nerf.chunk_size memory escape hatch)."""
