@@ -182,8 +182,9 @@ def test_build_cost_volume_sequential_matches_unrolled(rng):
     v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(feats, dv, True)
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-5)
     for gs, gu in zip(g_s, g_u):
-        # scan vs unrolled accumulate in a different association order;
-        # grads agree to float32 summation noise.
+        # Both paths sum views in the same 0..V-1 order; the looser grad
+        # tolerance absorbs XLA fusion/rematerialization differences
+        # between the scan and unrolled lowerings, not summation order.
         np.testing.assert_allclose(
             np.asarray(gs), np.asarray(gu), rtol=1e-3, atol=3e-5
         )

@@ -109,6 +109,47 @@ def main():
         if op in ("gather", "scatter", "dynamic-gather"):
             gathers.append((in_fusion, name, shape, b))
 
+    # --- the floor audit (PERF.md "Roofline"): what the compiled graph
+    # actually moves, vs the hand-summed ~1 GB estimate ---
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        print("\n== XLA cost analysis (compiled graph) ==")
+        for k in sorted(ca):
+            if "bytes" in k or k in ("flops", "transcendentals"):
+                v = ca[k]
+                if isinstance(v, float) and v > 1e6:
+                    print(f"  {k:<28} {v / 1e9:10.3f} G")
+                else:
+                    print(f"  {k:<28} {v}")
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}")
+    try:
+        ma = compiled.memory_analysis()
+        print("\n== memory analysis ==")
+        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "generated_code_size_in_bytes"):
+            print(f"  {k:<28} {getattr(ma, k, None)}")
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e}")
+
+    total_buf = sum(b for b, *_ in top)
+    gather_rows = 0
+    for _, _, shape, _ in gathers:
+        m = re.match(r"\w+\[([\d,]*)\]", shape)
+        if m and m.group(1):
+            dims = [int(d) for d in m.group(1).split(",")]
+            # rows = product of all but the trailing (lane/channel) dim
+            n = 1
+            for d in dims[:-1]:
+                n *= d
+            gather_rows += n
+    print(f"\n== totals ==")
+    print(f"  materialized buffer bytes (sum of top-level outputs): "
+          f"{total_buf / 1e9:.3f} GB")
+    print(f"  gather output rows (upper bound on fetched rows): "
+          f"{gather_rows / 1e6:.2f} M")
+
     top.sort(reverse=True)
     print("\n== largest materialized buffers (top 25) ==")
     for b, name, shape, op in top[:25]:

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="nerf.chunk_size override (bundles per row slab); "
                     "with --remat this bounds the bundle-stage backward peak")
+    ap.add_argument("--perceptual", action="store_true",
+                    help="include the VGG perceptual term (the shipped "
+                    "recipe; needs workspace/weights/vgg16.npz)")
+    ap.add_argument("--sustain", type=int, default=0,
+                    help="after the chained-loop timing, run this many "
+                    "sustained steps over rotating synthetic batches with "
+                    "loss/PSNR trend logging (the full-recipe proof)")
     args = ap.parse_args()
 
     from gdb_nerf_tpu.runtime import cache
@@ -75,7 +82,8 @@ def main():
     state = init_train_state(network, tx, batch)
     mesh = make_mesh(1)
     step_fn = make_train_step(
-        network, tx, list(cfg.mvs.loss_weight), mesh, use_perceptual=False
+        network, tx, list(cfg.mvs.loss_weight), mesh,
+        use_perceptual=args.perceptual,
     )
 
     state, metrics = step_fn(state, batch)  # compile + warmup
@@ -109,6 +117,39 @@ def main():
         f"{args.batch / best:.2f} samples/s)",
         flush=True,
     )
+
+    if args.sustain:
+        # Sustained full-recipe run: rotating batches (no CSE across steps),
+        # loss/PSNR trend so "fits" is also "learns" (VERDICT r3 weak #4).
+        batches = []
+        for i, bb in enumerate(loader):
+            if i >= 4:
+                break
+            batches.append(to_device_train(bb))
+        t0 = time.time()
+        for i in range(args.sustain):
+            state, m = step_fn(state, batches[i % len(batches)])
+            if (i + 1) % 10 == 0:
+                force_sync(m["loss"])
+                print(
+                    f"step {i + 1:4d}: loss {float(m['loss']):.4f} "
+                    f"psnr {float(m['psnr']):.2f} "
+                    f"({(time.time() - t0) / (i + 1) * 1e3:.0f} ms/step avg)",
+                    flush=True,
+                )
+        force_sync(m["loss"])
+        dt = (time.time() - t0) / args.sustain
+        try:
+            peak = (jax.devices()[0].memory_stats() or {}).get(
+                "peak_bytes_in_use")
+        except Exception:
+            peak = None
+        print(
+            f"sustained {args.sustain} steps: {dt * 1e3:.1f} ms/step "
+            f"({1.0 / dt:.2f} steps/s, {args.batch / dt:.2f} samples/s)"
+            + (f", peak HBM {peak / 2**30:.2f} GiB" if peak else ""),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
