@@ -222,15 +222,15 @@ def _fetch_vox(
         odd = (jnp.arange(W) & 1).astype(feat_volume.dtype)[
             None, :, None, None
         ]  # (1, W, 1, 1) static checkerboard
-        r0 = jnp.take(paired, d0 * (H * W2) + base, axis=0)
-        r1 = jnp.take(paired, d1 * (H * W2) + base, axis=0)
+        r0 = jnp.take(paired, d0 * (H * W2) + base, axis=0, mode="clip")
+        r1 = jnp.take(paired, d1 * (H * W2) + base, axis=0, mode="clip")
         r0 = r0[..., :C] * (1.0 - odd) + r0[..., C:] * odd
         r1 = r1[..., :C] * (1.0 - odd) + r1[..., C:] * odd
     else:
         base = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :])[..., None]
         flat = feat_volume.reshape(D * H * W, C)
-        r0 = jnp.take(flat, d0 * (H * W) + base, axis=0)
-        r1 = jnp.take(flat, d1 * (H * W) + base, axis=0)
+        r0 = jnp.take(flat, d0 * (H * W) + base, axis=0, mode="clip")
+        r1 = jnp.take(flat, d1 * (H * W) + base, axis=0, mode="clip")
     return r0 * (1.0 - w) + r1 * w
 
 

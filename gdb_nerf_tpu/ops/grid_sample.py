@@ -34,7 +34,7 @@ def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     H, W, _ = img.shape
     flat = img.reshape(H * W, -1)
     idx = iy * W + ix
-    return jnp.take(flat, idx, axis=0)
+    return jnp.take(flat, idx, axis=0, mode="clip")
 
 
 def grid_sample_2d(
@@ -187,7 +187,7 @@ def sample_2d_packed_pix(
     wy0 = wy0.astype(packed.dtype)
     wy1 = wy1.astype(packed.dtype)
 
-    rows = jnp.take(packed.reshape(H * W, C4), by * W + bx, axis=0)
+    rows = jnp.take(packed.reshape(H * W, C4), by * W + bx, axis=0, mode="clip")
     v00 = rows[..., 0 * C : 1 * C]
     v01 = rows[..., 1 * C : 2 * C]
     v10 = rows[..., 2 * C : 3 * C]
@@ -265,7 +265,7 @@ def sample_2d_paired_pix(
 
     rows = jnp.take(
         packed2.reshape(H * W2, C8), by * W2 + (bx >> 1), axis=0
-    )
+    , mode="clip")
     odd = (bx & 1).astype(packed2.dtype)[..., None]
     even = 1.0 - odd
     half = rows[..., : 4 * C] * even + rows[..., 4 * C :] * odd
@@ -293,10 +293,10 @@ def pack_patch_2d(img: jax.Array, ps: int = 4) -> jax.Array:
     cols = []
     for dy in range(ps):
         ys = jnp.clip(iy + dy, 0, H - 1)
-        row = jnp.take(img, ys, axis=-3)
+        row = jnp.take(img, ys, axis=-3, mode="clip")
         for dx in range(ps):
             xs = jnp.clip(ix + dx, 0, W - 1)
-            cols.append(jnp.take(row, xs, axis=-2))
+            cols.append(jnp.take(row, xs, axis=-2, mode="clip"))
     return jnp.concatenate(cols, axis=-1)
 
 
@@ -328,7 +328,7 @@ def gather_patch_bilinear(
     ax = jnp.clip(jnp.floor(jnp.min(x, axis=-1)).astype(jnp.int32), 0, W - 1)
     ay = jnp.clip(jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32), 0, H - 1)
 
-    rows = jnp.take(packed.reshape(H * W, Cpp), ay * W + ax, axis=0)
+    rows = jnp.take(packed.reshape(H * W, Cpp), ay * W + ax, axis=0, mode="clip")
     patch = rows.reshape(*rows.shape[:-1], ps, ps, C)
 
     lx = jnp.clip(x - ax[..., None].astype(x.dtype), 0.0, ps - 1.0)  # (..., K)
@@ -410,7 +410,7 @@ def grid_sample_3d_packed(
 
     rows = jnp.take(
         packed.reshape(D * H * W, C8), (bz * H + by) * W + bx, axis=0
-    )
+    , mode="clip")
     v = [rows[..., i * C : (i + 1) * C] for i in range(8)]
 
     c00 = v[0] * wx0 + v[1] * wx1
@@ -426,7 +426,7 @@ def _gather_3d(vol: jax.Array, iz: jax.Array, iy: jax.Array, ix: jax.Array) -> j
     D, H, W, _ = vol.shape
     flat = vol.reshape(D * H * W, -1)
     idx = (iz * H + iy) * W + ix
-    return jnp.take(flat, idx, axis=0)
+    return jnp.take(flat, idx, axis=0, mode="clip")
 
 
 def grid_sample_3d(

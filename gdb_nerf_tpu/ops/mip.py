@@ -62,10 +62,10 @@ def _bilinear_clamp(tex: jax.Array, uv: jax.Array) -> jax.Array:
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
 
     flat = tex.reshape(H * W, C)
-    v00 = jnp.take(flat, y0i * W + x0i, axis=0)
-    v01 = jnp.take(flat, y0i * W + x1i, axis=0)
-    v10 = jnp.take(flat, y1i * W + x0i, axis=0)
-    v11 = jnp.take(flat, y1i * W + x1i, axis=0)
+    v00 = jnp.take(flat, y0i * W + x0i, axis=0, mode="clip")
+    v01 = jnp.take(flat, y0i * W + x1i, axis=0, mode="clip")
+    v10 = jnp.take(flat, y1i * W + x0i, axis=0, mode="clip")
+    v11 = jnp.take(flat, y1i * W + x1i, axis=0, mode="clip")
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -238,7 +238,7 @@ def mip_texture_fetch_packed(
         idx = off + by.astype(jnp.int32) * Wl.astype(jnp.int32) + bx.astype(
             jnp.int32
         )
-        rows = jnp.take(flat, idx, axis=0)
+        rows = jnp.take(flat, idx, axis=0, mode="clip")
         v00 = rows[..., 0 * C : 1 * C]
         v01 = rows[..., 1 * C : 2 * C]
         v10 = rows[..., 2 * C : 3 * C]
