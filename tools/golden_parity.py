@@ -109,12 +109,17 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "ambient"],
                     help="where ours runs; replica is always CPU torch")
     args = ap.parse_args()
-    if args.device == "cpu":
-        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import torch
 
     import jax
+
+    if args.device == "cpu":
+        # env vars alone do not redirect on this machine — the ambient
+        # sitecustomize force-selects the TPU plugin; jax.config wins
+        # (same mechanism as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from convert_checkpoint import convert

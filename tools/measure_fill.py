@@ -35,10 +35,13 @@ def main():
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if args.cpu:
+        # env vars alone do not redirect on this machine (sitecustomize
+        # force-selects the TPU plugin); jax.config wins.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gdb_nerf_tpu.config import load_cfg
