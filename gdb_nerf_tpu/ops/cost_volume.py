@@ -14,8 +14,14 @@ gather's index computation.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Layout-propagation barrier experiment (see build_cost_volume); default on
+# only after A/B measurement — flip with GDBN_CV_BARRIER=0/1.
+_CV_BARRIER = os.environ.get("GDBN_CV_BARRIER", "0") == "1"
 
 from gdb_nerf_tpu.ops import camera
 from gdb_nerf_tpu.ops.grid_sample import (
@@ -149,7 +155,17 @@ def build_cost_volume(
         s1 = w if s1 is None else s1 + w
         s2 = w * w if s2 is None else s2 + w * w
     mean = s1 / V
-    return (s2 / V - mean * mean).astype(src_feats.dtype)
+    var = (s2 / V - mean * mean).astype(src_feats.dtype)
+    if _CV_BARRIER:
+        # Stop the CostRegNet conv's layout choice from propagating
+        # backwards through the variance math to the per-view gather roots:
+        # without the barrier XLA inserts a full layout-transpose copy of
+        # every view's PACKED 4-tap gather output (3 copies of (D,Ht,Wt,4C)
+        # per stage, ~1.2 GB physical per DTU frame — HLO audit in
+        # PERF.md); with it, only the V-fold-smaller combined variance pays
+        # the one conv-layout copy.
+        var = jax.lax.optimization_barrier(var)
+    return var
 
 
 def depth_regression(

@@ -108,6 +108,10 @@ def main():
     ap.add_argument("--save", default=None)
     ap.add_argument("--device", default="cpu", choices=["cpu", "ambient"],
                     help="where ours runs; replica is always CPU torch")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip the bf16 render (saves a second full-size "
+                    "compile; the shipped-dtype delta is measured on the "
+                    "TPU with --device ambient instead)")
     args = ap.parse_args()
 
     import torch
@@ -167,23 +171,24 @@ def main():
                     variables, dev
                 )["rgb"]
             )
-            ours16 = np.asarray(
-                jax.jit(lambda v, b: net_bf16.apply(v, b, train=False)[0])(
-                    variables, dev
-                )["rgb"], np.float32
-            )
-
             row = dict(
                 seed=seed, scene=si,
                 agree_f32=psnr(ours32, replica),
-                agree_bf16=psnr(ours16, replica),
-                agree_bf16_vs_f32=psnr(ours16, ours32),
                 gt_replica=psnr(replica, gt),
                 gt_ours_f32=psnr(ours32, gt),
-                gt_ours_bf16=psnr(ours16, gt),
             )
             row["gate_delta_f32"] = abs(row["gt_ours_f32"] - row["gt_replica"])
-            row["gate_delta_bf16"] = abs(row["gt_ours_bf16"] - row["gt_replica"])
+            if not args.skip_bf16:
+                ours16 = np.asarray(
+                    jax.jit(lambda v, b: net_bf16.apply(v, b, train=False)[0])(
+                        variables, dev
+                    )["rgb"], np.float32
+                )
+                row["agree_bf16"] = psnr(ours16, replica)
+                row["agree_bf16_vs_f32"] = psnr(ours16, ours32)
+                row["gt_ours_bf16"] = psnr(ours16, gt)
+                row["gate_delta_bf16"] = abs(
+                    row["gt_ours_bf16"] - row["gt_replica"])
             rows.append(row)
             print(json.dumps(row))
 
@@ -219,9 +224,11 @@ def main():
 
     print(f"\n== {H}x{W}, {len(rows)} renders ==")
     for k in ("agree_f32", "agree_bf16", "agree_bf16_vs_f32"):
-        print(f"{k:>22}: {agg(k)} dB")
+        if k in rows[0]:
+            print(f"{k:>22}: {agg(k)} dB")
     for k in ("gate_delta_f32", "gate_delta_bf16"):
-        print(f"{k:>22}: {agg(k)} dB   (gate: < 0.05)")
+        if k in rows[0]:
+            print(f"{k:>22}: {agg(k)} dB   (gate: < 0.05)")
 
 
 if __name__ == "__main__":
