@@ -315,7 +315,8 @@ class Network(nn.Module):
             if sharded:
                 rb_c = bundles.RayBundle(
                     rb_c.rays_o,
-                    shard_rows(rb_c.bundle_dirs, 1),
+                    shard_rows(rb_c.bundle_d, 1),
+                    rb_c.member_off,
                     shard_rows(rb_c.uv, 1),
                     shard_rows(rb_c.cos, 1),
                     rb_c.disk_radius,
@@ -376,7 +377,7 @@ class Network(nn.Module):
                         shard_rows(enc.ray_diff, 2),
                         shard_rows(enc.vox_feat, 1),
                     )
-                Hc = rb_c.bundle_dirs.shape[1]
+                Hc = rb_c.bundle_d.shape[1]
                 rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
                 payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
                 feat_rgb_dir = jnp.concatenate(
@@ -391,7 +392,7 @@ class Network(nn.Module):
             )
             if self.debug_outputs:
                 spb_acc.append(samples.samples_per_bundle)
-            Hc = rb_c.bundle_dirs.shape[1]
+            Hc = rb_c.bundle_d.shape[1]
 
             # 5. Bundle NeRF over every sample.  The heads take the view
             # axis right after batch — the encoder's native layout.
@@ -447,7 +448,8 @@ class Network(nn.Module):
                 sl = slice(ci * rp, (ci + 1) * rp)
                 rb_c = bundles.RayBundle(
                     rb.rays_o,
-                    rb.bundle_dirs[:, sl],
+                    rb.bundle_d[:, sl],
+                    rb.member_off,
                     rb.uv[:, sl],
                     rb.cos[:, sl],
                     rb.disk_radius,

@@ -40,10 +40,20 @@ from gdb_nerf_tpu.ops.mip import mip_texture_fetch_packed
 
 
 class RayBundle(NamedTuple):
-    """Per-target-view ray geometry grouped into b×b bundles."""
+    """Per-target-view ray geometry grouped into b×b bundles.
+
+    Member-ray directions are stored factored as mean + image-constant
+    offsets instead of a dense (H, W, b*b, 3) tensor: rays_d = M @ [x,y,1]
+    is linear in the pixel coordinate (camera.build_rays), so every
+    bundle's members sit at the same direction offsets from its mean — the
+    dense tensor carried no information beyond (bundle_d, member_off), and
+    its (b*b, 3) minor dims tile-padded ~40x in HBM (round-4 HLO audit).
+    Member k's direction = bundle_d + member_off[k], k = i*b + j.
+    """
 
     rays_o: jax.Array  # (3,) camera center (world)
-    bundle_dirs: jax.Array  # (H, W, b*b, 3) per-ray unnormalized directions
+    bundle_d: jax.Array  # (H, W, 3) mean member direction (unnormalized)
+    member_off: jax.Array  # (b*b, 3) image-constant member dir offsets
     uv: jax.Array  # (H, W, 2) normalized bundle-center pixel coords [-1, 1]
     cos: jax.Array  # (H, W) cos(bundle axis, camera z-axis)
     disk_radius: jax.Array  # () bundle disk radius on the z=1 plane
@@ -81,16 +91,37 @@ def make_ray_bundles(
     H, W = H_orig // b_size, W_orig // b_size
     rays_o, rays_d, uv, z_axis = camera.build_rays(tar_ext, tar_int, H_orig, W_orig)
 
-    # Group rays into bundles: (H, b, W, b, 3) -> (H, W, b*b, 3)
-    rd = rays_d.reshape(H, b_size, W, b_size, 3)
-    bundle_d = rd.mean(axis=(1, 3))  # (H, W, 3)
-    bundle_dirs = rd.transpose(0, 2, 1, 3, 4).reshape(H, W, b_size * b_size, 3)
+    # Bundle means via strided slices: the (H, b, W, b, ·) reshape form
+    # materializes with (b, ·) minor dims that tile-pad ~40-60x in HBM
+    # (round-4 HLO audit: 240 MB physical for a 3.8 MB ray reshape); the
+    # b*b slices keep every buffer at friendly (H, W, ·) shapes and fuse
+    # into their consumers.
+    acc_d = acc_uv = None
+    for i in range(b_size):
+        for j in range(b_size):
+            d_ij = rays_d[i::b_size, j::b_size]
+            u_ij = uv[i::b_size, j::b_size]
+            acc_d = d_ij if acc_d is None else acc_d + d_ij
+            acc_uv = u_ij if acc_uv is None else acc_uv + u_ij
+    inv = 1.0 / (b_size * b_size)
+    bundle_d = acc_d * inv  # (H, W, 3)
+    buv = acc_uv * inv  # (H, W, 2)
+
+    # Image-constant member offsets from the corner bundle (rays_d is linear
+    # in the pixel coordinate, so one bundle's offsets serve the image).
+    member_off = (
+        jnp.stack(
+            [rays_d[i, j] for i in range(b_size) for j in range(b_size)]
+        )
+        - bundle_d[0, 0][None, :]
+    )  # (b*b, 3)
 
     cos = jnp.sum(bundle_d * z_axis, axis=-1) / jnp.linalg.norm(bundle_d, axis=-1)
-    buv = uv.reshape(H, b_size, W, b_size, 2).mean(axis=(1, 3))
     disk_radius = b_size * camera.pixel_radius(tar_int)
 
-    return RayBundle(rays_o, bundle_dirs, buv, cos, disk_radius, near, far)
+    return RayBundle(
+        rays_o, bundle_d, member_off, buv, cos, disk_radius, near, far
+    )
 
 
 def sample_bundles(
@@ -161,7 +192,7 @@ def sample_bundles(
         rb.disk_radius * cos / jnp.sqrt(jnp.square(tan - rb.disk_radius) + 1.0)
     )  # (H, W)
 
-    bundle_d_mean = rb.bundle_dirs.mean(axis=2)  # (H, W, 3)
+    bundle_d_mean = rb.bundle_d  # (H, W, 3)
     # |center - origin| = z * |mean_dir| since center = o + mean_dir * z.
     distances = z_metric * jnp.linalg.norm(bundle_d_mean, axis=-1)[..., None]
     ball_radii = distances * unit_radius[..., None]  # (H, W, S)
@@ -290,7 +321,7 @@ def encode_samples(
     """
     V = src_images.shape[0]
     H, W, S = samples.z_vals.shape
-    bsq = rb.bundle_dirs.shape[2]
+    bsq = rb.member_off.shape[0]
     b_size = int(round(bsq**0.5))
     Hf, Wf = img_feat.shape[1:3]
 
@@ -302,15 +333,9 @@ def encode_samples(
     # view is exactly ``proj(center) + (K R off_k) * z`` — an affine
     # correction applied in image space (saves the (H, W, S, b^2, 3)
     # world-point tensors and two full-size geometry matmuls per view).
-    bundle_d_mean = rb.bundle_dirs.mean(axis=2)  # (H, W, 3)
-    # Member-direction offsets are IMAGE-CONSTANT: rays_d = M @ [x, y, 1] is
-    # linear in the pixel coordinate (camera.build_rays), and every bundle's
-    # members sit at the same fixed pixel offsets from its center — so one
-    # bundle's (bsq, 3) offsets serve the whole image (saves the (H, W,
-    # bsq, 3) tensor and a full-size matmul per view below).
-    d_off = (
-        rb.bundle_dirs[0, 0] - bundle_d_mean[0, 0][None, :]
-    )  # (bsq, 3)
+    # The offsets are image-constant and carried on the RayBundle directly.
+    bundle_d_mean = rb.bundle_d  # (H, W, 3)
+    d_off = rb.member_off  # (bsq, 3)
     z = samples.z_metric  # (H, W, S)
     bundle_xyz = (
         rb.rays_o + bundle_d_mean[:, :, None, :] * z[..., None]

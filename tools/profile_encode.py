@@ -87,8 +87,11 @@ def main():
 
     # --- isolated pieces ---
     # world positions of member samples (shared by the fetch paths)
+    member_dirs = (
+        rb.bundle_d[:, :, None, :] + rb.member_off[None, None, :, :]
+    )  # (H, W, bsq, 3)
     rays_xyz = (
-        rb.rays_o + rb.bundle_dirs[:, :, None, :, :] * smp.z_metric[..., None, None]
+        rb.rays_o + member_dirs[:, :, None, :, :] * smp.z_metric[..., None, None]
     )
 
     def proj_math(imgs):
