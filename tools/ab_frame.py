@@ -1,0 +1,111 @@
+"""Same-process interleaved A/B of a module-level perf flag on the frame.
+
+Run-to-run noise on the shared dev chip is +-2-3 ms, which swamps 1-2 ms
+effects when A and B are measured in separate processes (possibly hours
+apart).  This tool compiles BOTH variants of the eval frame in one process
+(flipping the flag between traces — the module globals are read at trace
+time) and interleaves timing rounds A,B,A,B,... so both see the same chip
+conditions.  Reports per-variant best and per-round deltas.
+
+Usage: python tools/ab_frame.py --flag cv_barrier [--rounds 5] [--n 8]
+       [--cfg configs/dtu_eval.yaml] [--set k v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# flag name -> (module path, attribute).  The attribute is flipped between
+# traces; both variants must produce identical outputs (exactness is the
+# flag owner's contract, e.g. optimization_barrier is semantically a no-op).
+FLAGS = {
+    "cv_barrier": ("gdb_nerf_tpu.ops.cost_volume", "_CV_BARRIER"),
+    "mipbuild": ("gdb_nerf_tpu.models.network", "_MIPBUILD_FUSED"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flag", required=True, choices=sorted(FLAGS))
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--cfg", default="configs/dtu_eval.yaml")
+    ap.add_argument("--set", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from gdb_nerf_tpu.runtime import cache
+
+    cache.enable()
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gdb_nerf_tpu.config import load_cfg
+    from gdb_nerf_tpu.datasets import make_data_loader
+    from gdb_nerf_tpu.runtime import make_network
+    from gdb_nerf_tpu.runtime.renderer import force_sync, init_network, to_device
+
+    mod_path, attr = FLAGS[args.flag]
+    mod = importlib.import_module(mod_path)
+
+    cfg = load_cfg(
+        args.cfg,
+        ["synthetic", "True", "compute_dtype", args.dtype] + list(args.set),
+    )
+    network = make_network(cfg)
+    loader = make_data_loader(cfg, is_train=False)
+    batch = next(iter(loader))
+    variables = init_network(network, cfg, sample_batch=batch)
+    dev = to_device(batch)
+
+    def run_n(n):
+        def body(i, carry):
+            sv = dict(dev["src_views"])
+            sv["rgb"] = sv["rgb"] + carry * 1e-12
+            b = {**dev, "src_views": sv}
+            ret, _, _ = network.apply(variables, b, train=False)
+            return ret["rgb"].mean()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    variants = {}
+    outs = {}
+    for val in (False, True):
+        setattr(mod, attr, val)
+        fn = jax.jit(run_n, static_argnums=0)
+        outs[val] = force_sync(fn(args.n))  # compile + warm
+        variants[val] = fn
+    setattr(mod, attr, False)
+    print(f"exactness: |off - on| = {abs(float(outs[False]) - float(outs[True])):.3e}")
+
+    times = {False: [], True: []}
+    for r in range(args.rounds):
+        for val in (False, True):
+            t0 = time.time()
+            force_sync(variants[val](args.n))
+            times[val].append((time.time() - t0) / args.n * 1000.0)
+        print(
+            f"round {r}: off {times[False][-1]:.1f} ms  "
+            f"on {times[True][-1]:.1f} ms  "
+            f"delta {times[True][-1] - times[False][-1]:+.1f} ms",
+            flush=True,
+        )
+    off = np.array(times[False])
+    on = np.array(times[True])
+    print(
+        f"{args.flag}: off best {off.min():.1f} / median {np.median(off):.1f} ms"
+        f"  on best {on.min():.1f} / median {np.median(on):.1f} ms"
+        f"  median delta {np.median(on - off):+.2f} ms"
+    )
+
+
+if __name__ == "__main__":
+    main()
