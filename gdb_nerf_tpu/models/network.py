@@ -379,9 +379,11 @@ class Network(nn.Module):
                     )
                 Hc = rb_c.bundle_d.shape[1]
                 rgbs_flat = enc.rgbs.reshape(B, V, Hc, W, S, bsq * 3)
-                payload = jnp.concatenate([rgbs_flat, enc.mip_feat], axis=-1)
+                mip_feat = enc.mip_feat.reshape(B, V, Hc, W, S, -1)
+                ray_diff = enc.ray_diff.reshape(B, V, Hc, W, S, 4)
+                payload = jnp.concatenate([rgbs_flat, mip_feat], axis=-1)
                 feat_rgb_dir = jnp.concatenate(
-                    [enc.mip_feat, enc.ray_diff.astype(cdtype)], axis=-1
+                    [mip_feat, ray_diff.astype(cdtype)], axis=-1
                 )  # (B, V, Hc, W, S, F+3+4)
                 return samples, enc.vox_feat, payload, feat_rgb_dir
 

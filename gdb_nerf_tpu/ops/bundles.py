@@ -18,6 +18,7 @@ All functions are per-batch-element; vmap over batch at call sites.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -265,8 +266,23 @@ def _fetch_vox(
     return r0 * (1.0 - w) + r1 * w
 
 
+# Stack the per-view encode outputs with (S, C) flattened into one wide
+# trailing axis (A/B: GDBN_ENC_FLAT=1).  Candidate fix for the round-4 HLO
+# audit finding: the (V, H, W, S, b*b, 3)-shaped stack writes tile-pad their
+# (3, 12)-class minor dims ~28-42x (ops/loops.py:57 showed 1.1 GB physical
+# for 128 MB logical); a (V, H, W, S*12) slice pads only 36->128.  The
+# consumer (models/network.py payload concat) unflattens back — row-major
+# identical, so results are bit-exact.
+_ENC_FLAT = os.environ.get("GDBN_ENC_FLAT", "0") == "1"
+
+
 class EncodedSamples(NamedTuple):
-    """Per-sample features gathered from source views and the cost volume."""
+    """Per-sample features gathered from source views and the cost volume.
+
+    With ``_ENC_FLAT`` the per-view tensors carry (S, C) flattened into the
+    trailing axis: rgbs (V, H, W, S*b*b*3), mip_feat (V, H, W, S*F),
+    ray_diff (V, H, W, S*4) — same row-major data, wide minor dim.
+    """
 
     rgbs: jax.Array  # (V, H, W, S, b*b, 3) per-ray source RGB
     mip_feat: jax.Array  # (V, H, W, S, F) anti-aliased source features (F = feat+3)
@@ -422,6 +438,12 @@ def encode_samples(
         dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
         ray_diff = jnp.concatenate([direction, dot], axis=-1)  # (H, W, S, 4)
 
+        if _ENC_FLAT:
+            return (
+                rgbs.reshape(H, W, S * bsq * 3),
+                mip_feat.reshape(H, W, S * mip_feat.shape[-1]),
+                ray_diff.reshape(H, W, S * 4),
+            )
         return rgbs, mip_feat, ray_diff
 
     # Past the measured TPU gather row-rate cliff (~460k rows the rate

@@ -20,8 +20,22 @@ gathers to TPU dynamic-gather; the Pallas fused variants live in
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Tent-combine formulation for the packed samplers (A/B: GDBN_TENT).
+#   "pair"  (default): top/bot row mixes — wx0/wx1 each consumed twice.
+#   "stack": one (…, 4) outer-product weight tensor consumed once by a
+#            (…, 4, C) tap reduction.  Tried as a fix for the round-4 HLO
+#            audit finding (the four (…, bsq, 1)-minor tent-weight buffers
+#            tile-pad ~34x, 1.93 GB physical for 56 MB logical per frame) —
+#            MEASURED WORSE by the same audit: the (…, 4, C) taps reshape
+#            and (…, 4, 1) weight stack materialize with (4, C)-minor
+#            padding, 14.7 -> 24.7 GB physical/frame.  Kept for the record;
+#            exactness-tested (tests/test_grid_sample.py).
+_TENT = os.environ.get("GDBN_TENT", "pair")
 
 
 def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
@@ -188,6 +202,12 @@ def sample_2d_packed_pix(
     wy1 = wy1.astype(packed.dtype)
 
     rows = jnp.take(packed.reshape(H * W, C4), by * W + bx, axis=0, mode="clip")
+    if _TENT == "stack":
+        u = jnp.stack(
+            [wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], axis=-2
+        )  # (..., 4, 1)
+        taps = rows.reshape(*rows.shape[:-1], 4, C)
+        return jnp.sum(taps * u, axis=-2)
     v00 = rows[..., 0 * C : 1 * C]
     v01 = rows[..., 1 * C : 2 * C]
     v10 = rows[..., 2 * C : 3 * C]

@@ -25,6 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Read at trace time so tools/ab_frame.py can flip grid_sample._TENT
+# between traces (import-time copies would freeze the A value).
+from gdb_nerf_tpu.ops import grid_sample as _gs
+
 
 def build_pyramid(img: jax.Array, max_level: int) -> list[jax.Array]:
     """Build a box-filter mip pyramid.
@@ -239,6 +243,18 @@ def mip_texture_fetch_packed(
             jnp.int32
         )
         rows = jnp.take(flat, idx, axis=0, mode="clip")
+        if _gs._TENT == "stack":
+            u = jnp.stack(
+                [
+                    (1 - wx) * (1 - wy),
+                    wx * (1 - wy),
+                    (1 - wx) * wy,
+                    wx * wy,
+                ],
+                axis=-2,
+            )  # (..., 4, 1)
+            t4 = rows.reshape(*rows.shape[:-1], 4, C)
+            return jnp.sum(t4 * u, axis=-2)
         v00 = rows[..., 0 * C : 1 * C]
         v01 = rows[..., 1 * C : 2 * C]
         v10 = rows[..., 2 * C : 3 * C]

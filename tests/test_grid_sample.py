@@ -220,3 +220,37 @@ def test_fetch_vox_packed_matches_4d(rng, monkeypatch):
     ref_p = bundles._fetch_vox(vol, samples)
     got_p = bundles._fetch_vox(packed, samples, vox_channels=C)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_tent_stack_matches_pair(rng, monkeypatch):
+    """GDBN_TENT=stack (one (…,4) outer-product weight consumed by a tap
+    reduction — round-4 HLO-audit traffic fix) matches the pair form to
+    reassociation-only error on the packed sampler and the mip fetch."""
+    from gdb_nerf_tpu.ops import grid_sample as gs
+    from gdb_nerf_tpu.ops import mip
+
+    H, W, C = 12, 16, 3
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    packed = gs.pack_bilinear_2d(img)
+    x = jnp.array((rng.uniform(-2, W + 1, (300,))).astype(np.float32))
+    y = jnp.array((rng.uniform(-2, H + 1, (300,))).astype(np.float32))
+
+    feat = jnp.array(rng.standard_normal((16, 24, 7)).astype(np.float32))
+    pyr, offs = mip.pack_pyramid(mip.build_pyramid(feat, 2))
+    uv = jnp.array(rng.uniform(0, 1, (50, 2)).astype(np.float32))
+    lod = jnp.array(rng.uniform(0, 2, (50,)).astype(np.float32))
+
+    outs = {}
+    for mode in ("pair", "stack"):
+        monkeypatch.setattr(gs, "_TENT", mode)
+        for pad in ("border", "zeros"):
+            outs[mode, pad] = np.asarray(
+                gs.sample_2d_packed_pix(packed, x, y, pad)
+            )
+        outs[mode, "mip"] = np.asarray(
+            mip.mip_texture_fetch_packed(pyr, offs, (16, 24), uv, lod, 2)
+        )
+    for key in ("border", "zeros", "mip"):
+        np.testing.assert_allclose(
+            outs["stack", key], outs["pair", key], rtol=0, atol=1e-6
+        )

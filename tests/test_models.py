@@ -238,3 +238,23 @@ def test_network_fused_mipbuild_matches_naive(rng, monkeypatch):
             np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=1e-5, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_network_enc_flat_matches_default(rng, monkeypatch):
+    """GDBN_ENC_FLAT=1 (wide-minor-dim per-view encode stacking — round-4
+    HLO-audit traffic fix) leaves the eval forward unchanged up to XLA
+    fusion reassociation."""
+    from gdb_nerf_tpu.ops import bundles
+
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    outs = {}
+    for flat in (False, True):
+        monkeypatch.setattr(bundles, "_ENC_FLAT", flat)
+        ret, _, _ = net.apply(vars_, batch, train=False)
+        outs[flat] = {k: np.asarray(ret[k]) for k in ["rgb", "nerf_depth", "opacity"]}
+    for k in outs[True]:
+        np.testing.assert_allclose(
+            outs[True][k], outs[False][k], rtol=1e-5, atol=1e-5, err_msg=k
+        )

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLAGS = {
     "cv_barrier": ("gdb_nerf_tpu.ops.cost_volume", "_CV_BARRIER"),
     "mipbuild": ("gdb_nerf_tpu.models.network", "_MIPBUILD_FUSED"),
+    # string-valued: off="pair", on="stack"
+    "tent": ("gdb_nerf_tpu.ops.grid_sample", "_TENT"),
+    "enc_flat": ("gdb_nerf_tpu.ops.bundles", "_ENC_FLAT"),
 }
+FLAG_VALUES = {"tent": ("pair", "stack")}  # default (False, True)
 
 
 def main():
@@ -76,30 +80,33 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    off_on = FLAG_VALUES.get(args.flag, (False, True))
     variants = {}
     outs = {}
-    for val in (False, True):
+    for val in off_on:
         setattr(mod, attr, val)
         fn = jax.jit(run_n, static_argnums=0)
-        outs[val] = force_sync(fn(args.n))  # compile + warm
+        out = fn(args.n)  # compile + warm
+        force_sync(out)
+        outs[val] = out
         variants[val] = fn
-    setattr(mod, attr, False)
-    print(f"exactness: |off - on| = {abs(float(outs[False]) - float(outs[True])):.3e}")
+    setattr(mod, attr, off_on[0])
+    print(f"exactness: |off - on| = {abs(float(outs[off_on[0]]) - float(outs[off_on[1]])):.3e}")
 
-    times = {False: [], True: []}
+    times = {off_on[0]: [], off_on[1]: []}
     for r in range(args.rounds):
-        for val in (False, True):
+        for val in off_on:
             t0 = time.time()
             force_sync(variants[val](args.n))
             times[val].append((time.time() - t0) / args.n * 1000.0)
         print(
-            f"round {r}: off {times[False][-1]:.1f} ms  "
-            f"on {times[True][-1]:.1f} ms  "
-            f"delta {times[True][-1] - times[False][-1]:+.1f} ms",
+            f"round {r}: off {times[off_on[0]][-1]:.1f} ms  "
+            f"on {times[off_on[1]][-1]:.1f} ms  "
+            f"delta {times[off_on[1]][-1] - times[off_on[0]][-1]:+.1f} ms",
             flush=True,
         )
-    off = np.array(times[False])
-    on = np.array(times[True])
+    off = np.array(times[off_on[0]])
+    on = np.array(times[off_on[1]])
     print(
         f"{args.flag}: off best {off.min():.1f} / median {np.median(off):.1f} ms"
         f"  on best {on.min():.1f} / median {np.median(on):.1f} ms"

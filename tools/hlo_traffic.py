@@ -106,6 +106,18 @@ INST_RE = re.compile(
 )
 
 
+SRC_RE = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+
+
+def src_of(meta_line: str) -> str:
+    m = SRC_RE.search(meta_line)
+    if not m:
+        return "(no metadata)"
+    path = m.group(1)
+    short = path.split("/root/repo/")[-1]
+    return f"{short}:{m.group(2)}"
+
+
 def stage_of(meta_line: str) -> str:
     m = re.search(r'op_name="jit\(\w+\)/Network/(\w+)', meta_line)
     if not m:
@@ -169,7 +181,7 @@ def main():
             continue
         if op in NO_WRITE_OPS:
             continue
-        rows.append((name, op, operands, lo, ph, stage_of(line)))
+        rows.append((name, op, operands, lo, ph, stage_of(line), src_of(line)))
 
     def resolve(n):
         seen = set()
@@ -181,8 +193,9 @@ def main():
     w_lo = w_ph = r_lo = r_ph = 0
     by_stage = collections.defaultdict(lambda: [0, 0])
     by_op = collections.defaultdict(lambda: [0, 0])
+    by_src = collections.defaultdict(lambda: [0, 0, 0])  # lo, ph, count
     contrib = []
-    for name, op, operands, lo, ph, stage in rows:
+    for name, op, operands, lo, ph, stage, src in rows:
         reads_lo = reads_ph = 0
         if op.endswith("-start"):
             pass  # start-op traffic fully captured in its write size
@@ -207,6 +220,9 @@ def main():
         by_stage[stage][1] += t
         by_op[op][0] += lo + reads_lo
         by_op[op][1] += t
+        by_src[src][0] += lo + reads_lo
+        by_src[src][1] += t
+        by_src[src][2] += 1
         contrib.append((t, lo + reads_lo, name, op, stage))
 
     tot_lo, tot_ph = w_lo + r_lo, w_ph + r_ph
@@ -225,6 +241,10 @@ def main():
     print("\n== by op kind (top 12, physical GB) ==")
     for op, (l, p) in sorted(by_op.items(), key=lambda kv: -kv[1][1])[:12]:
         print(f"  {op:<22} {l/1e9:7.3f} / {p/1e9:7.3f}")
+    print(f"\n== top {args.top} source lines by physical traffic ==")
+    for src, (l, p, n) in sorted(by_src.items(), key=lambda kv: -kv[1][1])[: args.top]:
+        print(f"  {p/2**20:9.1f} MiB phys ({l/2**20:8.1f} logical, {n:4d} insts)  {src}")
+
     print(f"\n== top {args.top} instructions by physical traffic ==")
     contrib.sort(reverse=True)
     for t, l, name, op, stage in contrib[:args.top]:
