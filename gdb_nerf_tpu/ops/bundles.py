@@ -239,6 +239,25 @@ def _fetch_vox(
 
     d = samples.uvd[..., 2]  # (H, W, S) normalized depth coordinate
     zc = jnp.clip((d + 1.0) * D * 0.5 - 0.5, 0.0, D - 1.0)  # border semantics
+    if _VOX_TENT and D <= 16:
+        # Zero-gather form: when the grids match, every (h, w) needed is the
+        # full texel raster IN ORDER — the "gather" is the identity — and all
+        # S samples of a bundle share their pixel, so the whole fetch is a
+        # depth-axis linear interpolation.  Tent weights over the D slices
+        # (max(0, 1-|zc-d|)) reproduce floor/ceil lerp exactly (the two
+        # adjacent slices get (1-w, w), all others exactly 0); an unrolled
+        # D-term FMA lets XLA fuse the 10 MB volume read straight into the
+        # (H, W, S, C) output with no gather rows at all (the current paired
+        # path costs 2 takes x H*W*S rows on the row-rate-bound chip).
+        vol = feat_volume.reshape(D, H, W, C)
+        out = None
+        for dd in range(D):
+            wd = jnp.clip(1.0 - jnp.abs(zc - float(dd)), 0.0, 1.0)[
+                ..., None
+            ].astype(vol.dtype)
+            term = vol[dd][:, :, None, :] * wd
+            out = term if out is None else out + term
+        return out
     d0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, D - 1)
     d1 = jnp.minimum(d0 + 1, D - 1)
     w = (zc - d0.astype(zc.dtype))[..., None].astype(feat_volume.dtype)
@@ -274,6 +293,11 @@ def _fetch_vox(
 # consumer (models/network.py payload concat) unflattens back — row-major
 # identical, so results are bit-exact.
 _ENC_FLAT = os.environ.get("GDBN_ENC_FLAT", "0") == "1"
+
+# Zero-gather voxel fetch (see _fetch_vox): depth-axis tent interpolation
+# instead of 2 takes x H*W*S gather rows.  A/B via tools/ab_frame.py
+# --flag vox_tent before changing the default.
+_VOX_TENT = os.environ.get("GDBN_VOX_TENT", "0") == "1"
 
 
 class EncodedSamples(NamedTuple):

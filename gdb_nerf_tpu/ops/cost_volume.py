@@ -23,6 +23,19 @@ import jax.numpy as jnp
 # only after A/B measurement — flip with GDBN_CV_BARRIER=0/1.
 _CV_BARRIER = os.environ.get("GDBN_CV_BARRIER", "0") == "1"
 
+# Accumulate the variance moments in the gather-native FLAT (D*Ht*Wt, C)
+# layout instead of (D, Ht, Wt, C).  Round-4 HLO audit: the downstream
+# (depth-folded) CostRegNet conv demands a spatial-minor layout, and layout
+# assignment propagates that demand backwards THROUGH the variance fusion to
+# each view's raw 4C-packed gather output — a full transpose copy per view
+# (3 x 80 MB x 2 stages = 960 MB logical per DTU frame; optimization_barrier
+# does not block layout propagation, which is why GDBN_CV_BARRIER measured
+# null).  In flat 2-D form every buffer between the gather and the variance
+# is {1,0} row-major — nothing to transpose — and only the V-fold-smaller
+# C-channel variance pays the conv-layout copy after the final bitcast
+# reshape.  Exact: the reshape is row-major-identity.
+_CV_FLAT = os.environ.get("GDBN_CV_FLAT", "0") == "1"
+
 from gdb_nerf_tpu.ops import camera
 from gdb_nerf_tpu.ops.grid_sample import (
     grid_sample_2d,
@@ -56,6 +69,7 @@ def warp_src_to_volume(
     src_feat_packed: jax.Array,
     proj: jax.Array,
     depth_values: jax.Array,
+    flat: bool = False,
 ) -> jax.Array:
     """Warp one (2x2-packed) source feature map onto target depth planes.
 
@@ -68,7 +82,9 @@ def warp_src_to_volume(
 
     Returns:
       (D, Ht, Wt, C) warped features, zero where the projection falls outside
-      the source image.
+      the source image — or (D*Ht*Wt, C) when ``flat`` (see _CV_FLAT: keeps
+      every buffer between the gather and its consumer in {1,0} row-major so
+      no layout-transpose copy of the 4C gather output can be inserted).
     """
     Hs, Ws = src_feat_packed.shape[:2]
     D, Ht, Wt = depth_values.shape
@@ -80,6 +96,8 @@ def warp_src_to_volume(
     gx = 2.0 * (xyz[..., 0] / z) / Ws - 1.0
     gy = 2.0 * (xyz[..., 1] / z) / Hs - 1.0
     grid = jnp.stack([gx, gy], axis=-1)  # (D, Ht, Wt, 2)
+    if flat:
+        grid = grid.reshape(D * Ht * Wt, 2)
     return grid_sample_2d_packed(src_feat_packed, grid, padding_mode="zeros")
 
 
@@ -149,13 +167,16 @@ def build_cost_volume(
     # depth softmax, where bf16 cancellation costs dB.
     s1 = s2 = None
     for v in range(V):
-        w = warp_src_to_volume(packed[v], projs[v], metric_depth).astype(
-            jnp.float32
-        )
+        w = warp_src_to_volume(
+            packed[v], projs[v], metric_depth, flat=_CV_FLAT
+        ).astype(jnp.float32)
         s1 = w if s1 is None else s1 + w
         s2 = w * w if s2 is None else s2 + w * w
     mean = s1 / V
     var = (s2 / V - mean * mean).astype(src_feats.dtype)
+    if _CV_FLAT:
+        D, Ht, Wt = metric_depth.shape
+        var = var.reshape(D, Ht, Wt, src_feats.shape[-1])
     if _CV_BARRIER:
         # Stop the CostRegNet conv's layout choice from propagating
         # backwards through the variance math to the per-view gather roots:

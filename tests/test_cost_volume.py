@@ -153,6 +153,36 @@ def test_build_cost_volume_matches_spec(rng):
     )
 
 
+def test_build_cost_volume_flat_accumulation_is_bit_exact(rng, monkeypatch):
+    """GDBN_CV_FLAT accumulates the variance moments in flat (D*Ht*Wt, C)
+    row-major form (layout-copy fix, PERF.md round 4); the reshape is a
+    row-major identity, so results must be bit-identical."""
+    Hs, Ws, C = 20, 28, 6
+    Ht, Wt, D = 10, 14, 5
+    V = 3
+    tar_ext, tar_K = random_camera(rng, Ht, Wt)
+    cams = [random_camera(rng, Hs, Ws) for _ in range(V)]
+    src_exts = jnp.array(np.stack([c[0] for c in cams]))
+    src_ints = jnp.array(np.stack([c[1] for c in cams]))
+    feats = jnp.array(rng.standard_normal((V, Hs, Ws, C)).astype(np.float32))
+    dv = jnp.array(
+        np.linspace(2.0, 6.0, D, dtype=np.float32)[:, None, None]
+        * np.ones((D, Ht, Wt), dtype=np.float32)
+    )
+
+    def vol():
+        return cost_volume.build_cost_volume(
+            feats, src_exts, src_ints, jnp.array(tar_ext), jnp.array(tar_K),
+            dv, inv_depth=False,
+        )
+
+    monkeypatch.setattr(cost_volume, "_CV_FLAT", False)
+    base = np.asarray(jax.jit(vol)())
+    monkeypatch.setattr(cost_volume, "_CV_FLAT", True)
+    flat = np.asarray(jax.jit(vol)())
+    np.testing.assert_array_equal(flat, base)
+
+
 def test_build_cost_volume_sequential_matches_unrolled(rng):
     """The training-only scan+checkpoint view accumulation (used so the
     rematted backward holds one view's warp temps at a time) must match the

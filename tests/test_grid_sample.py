@@ -193,6 +193,39 @@ def test_fetch_vox_paired_matches_flat(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(paired), np.asarray(flat))
 
 
+def test_fetch_vox_tent_matches_gather(rng, monkeypatch):
+    """GDBN_VOX_TENT's zero-gather depth-tent form == the take-based
+    degenerate path (same clip-floor-lerp semantics; tent weights are
+    exactly (1-w, w) on the two adjacent slices and exactly 0 elsewhere)."""
+    from gdb_nerf_tpu.ops import bundles
+
+    D, H, W, C = 8, 6, 8, 4
+    S = 3
+    vol = jnp.array(rng.standard_normal((D, H, W, C)).astype(np.float32))
+    uvd = jnp.array(
+        (rng.uniform(-1.2, 1.2, (H, W, S, 3))).astype(np.float32)
+    )
+    samples = bundles.BundleSamples(
+        z_vals=jnp.zeros((H, W, S)),
+        z_metric=jnp.zeros((H, W, S)),
+        valid=jnp.ones((H, W, S), bool),
+        uvd=uvd,
+        ball_radii=jnp.ones((H, W, S)),
+        samples_per_bundle=jnp.full((H, W), S),
+    )
+    ref = bundles._fetch_vox(vol, samples)
+    monkeypatch.setattr(bundles, "_VOX_TENT", True)
+    tent = bundles._fetch_vox(vol, samples)
+    # f32 weight arithmetic differs in the last ulp (1-(d1-zc) vs zc-d0);
+    # both quantize identically at the bf16 pipeline dtype.
+    np.testing.assert_allclose(
+        np.asarray(tent), np.asarray(ref), rtol=2e-6, atol=2e-6
+    )
+    # The packed (D, H, W*C) volume form must hit the same path.
+    tent_p = bundles._fetch_vox(vol.reshape(D, H, W * C), samples, vox_channels=C)
+    np.testing.assert_array_equal(np.asarray(tent_p), np.asarray(tent))
+
+
 def test_fetch_vox_packed_matches_4d(rng, monkeypatch):
     """_fetch_vox with the lane-aligned (D, H, W*C) packed volume == the
     4D form, on both the flat and past-the-cliff paired branches."""

@@ -25,10 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # flag owner's contract, e.g. optimization_barrier is semantically a no-op).
 FLAGS = {
     "cv_barrier": ("gdb_nerf_tpu.ops.cost_volume", "_CV_BARRIER"),
+    "cv_flat": ("gdb_nerf_tpu.ops.cost_volume", "_CV_FLAT"),
     "mipbuild": ("gdb_nerf_tpu.models.network", "_MIPBUILD_FUSED"),
     # string-valued: off="pair", on="stack"
     "tent": ("gdb_nerf_tpu.ops.grid_sample", "_TENT"),
     "enc_flat": ("gdb_nerf_tpu.ops.bundles", "_ENC_FLAT"),
+    "vox_tent": ("gdb_nerf_tpu.ops.bundles", "_VOX_TENT"),
 }
 FLAG_VALUES = {"tent": ("pair", "stack")}  # default (False, True)
 
