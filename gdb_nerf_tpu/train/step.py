@@ -143,14 +143,12 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_core, donate_argnums=(0,))
 
-    from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step_core,
         mesh=mesh,
         in_specs=(P(), P("data")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -28,12 +28,11 @@ assert jax.device_count() == 2, jax.device_count()
 
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 import numpy as np
 
 mesh = Mesh(np.array(jax.devices()), ("data",))
 f = jax.jit(
-    shard_map(
+    jax.shard_map(
         lambda x: jax.lax.psum(x, "data"),
         mesh=mesh, in_specs=P("data"), out_specs=P(),
     )
