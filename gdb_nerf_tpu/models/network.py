@@ -40,6 +40,21 @@ import os as _os
 # GDBN_MIPBUILD=1 enables for A/B on larger-table configs.
 _MIPBUILD_FUSED = _os.environ.get("GDBN_MIPBUILD", "0") == "1"
 
+# Selective rematerialization (VERDICT r4 task 6): names in GDBN_REMAT_SKIP
+# (comma-separated, from {feature, depth, nerf, decoder, encode}) drop that
+# submodule's nn.remat wrapper / the sample_encode jax.checkpoint while
+# Network.remat stays on — those activations are SAVED instead of recomputed
+# in the backward pass, trading HBM for the recompute share of the 3447 ms
+# full-recipe step (PERF.md round-4).  Measured via
+# GDBN_REMAT_SKIP=... python tools/measure_train_step.py --remat; OOM is the
+# failure mode to watch (full remat exists because the unremat step needs
+# ~44 GB saved activations vs 15.75 GB HBM).
+_REMAT_SKIP = frozenset(
+    s.strip()
+    for s in _os.environ.get("GDBN_REMAT_SKIP", "").split(",")
+    if s.strip()
+)
+
 
 class Network(nn.Module):
     # FPN
@@ -184,10 +199,22 @@ class Network(nn.Module):
         # no-op there, but gating keeps the benched eval graph untouched).
         use_remat = self.remat and train
         if use_remat:
-            FeatureNetM = nn.remat(FeatureNet, static_argnums=(2,))
-            DepthNetM = nn.remat(DepthNet, static_argnums=(8,))
-            BundleNeRFM = nn.remat(BundleNeRF)
-            DecoderM = nn.remat(Decoder)
+            # _REMAT_SKIP lets A/B runs save a submodule's activations
+            # instead (selective remat — see the module comment).
+            FeatureNetM = (
+                FeatureNet
+                if "feature" in _REMAT_SKIP
+                else nn.remat(FeatureNet, static_argnums=(2,))
+            )
+            DepthNetM = (
+                DepthNet
+                if "depth" in _REMAT_SKIP
+                else nn.remat(DepthNet, static_argnums=(8,))
+            )
+            BundleNeRFM = (
+                BundleNeRF if "nerf" in _REMAT_SKIP else nn.remat(BundleNeRF)
+            )
+            DecoderM = Decoder if "decoder" in _REMAT_SKIP else nn.remat(Decoder)
         else:
             FeatureNetM, DepthNetM = FeatureNet, DepthNet
             BundleNeRFM, DecoderM = BundleNeRF, Decoder
@@ -273,7 +300,16 @@ class Network(nn.Module):
         src_small = unrolled_vmap(
             unrolled_vmap(lambda im: resize_bilinear(im, (H, W)), (0,)), (0,)
         )(src_images)
-        if _MIPBUILD_FUSED:
+        if mip._PAIR:
+            # Level-pair table (ops/mip.py::pack_pyramid_pair): one gather
+            # row per (sample, view) carries both trilinear levels; the
+            # fetch dispatch in ops/bundles.py reads the same flag.
+            img_feat = jnp.concatenate(
+                [img_feat, src_small.astype(img_feat.dtype)], axis=-1
+            ).astype(cdtype)
+            pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
+            packed, pyr_offsets = mip.pack_pyramid_pair(pyramid)
+        elif _MIPBUILD_FUSED:
             # Fused pyramid build+pack (ops/mip.py::build_pack_pyramid):
             # the (B, V, H, W, F+3) feat+rgb concat never materializes and
             # every pyramid level stays in merged dense-lane form.  The
@@ -387,7 +423,7 @@ class Network(nn.Module):
                 )  # (B, V, Hc, W, S, F+3+4)
                 return samples, enc.vox_feat, payload, feat_rgb_dir
 
-            if use_remat and not sharded:
+            if use_remat and not sharded and "encode" not in _REMAT_SKIP:
                 sample_encode = jax.checkpoint(sample_encode)
             samples, vox_feat, payload, feat_rgb_dir = sample_encode(
                 rb_c, dr_c, vr_c

@@ -37,6 +37,7 @@ from gdb_nerf_tpu.ops.grid_sample import (
     sample_2d_packed_pix,
     sample_2d_paired_pix,
 )
+from gdb_nerf_tpu.ops import mip as _mip
 from gdb_nerf_tpu.ops.mip import mip_texture_fetch_packed
 
 
@@ -239,6 +240,18 @@ def _fetch_vox(
 
     d = samples.uvd[..., 2]  # (H, W, S) normalized depth coordinate
     zc = jnp.clip((d + 1.0) * D * 0.5 - 0.5, 0.0, D - 1.0)  # border semantics
+    if _VOX_TENT and D > 16:
+        global _vox_tent_guard_warned
+        if not _vox_tent_guard_warned:
+            _vox_tent_guard_warned = True
+            import warnings
+
+            warnings.warn(
+                f"GDBN_VOX_TENT set but volume depth D={D} > 16: the "
+                "zero-gather tent path is disabled (unrolled FMA scales in "
+                "D); this run measures the baseline gather path.",
+                stacklevel=2,
+            )
     if _VOX_TENT and D <= 16:
         # Zero-gather form: when the grids match, every (h, w) needed is the
         # full texel raster IN ORDER — the "gather" is the identity — and all
@@ -296,8 +309,12 @@ _ENC_FLAT = os.environ.get("GDBN_ENC_FLAT", "0") == "1"
 
 # Zero-gather voxel fetch (see _fetch_vox): depth-axis tent interpolation
 # instead of 2 takes x H*W*S gather rows.  A/B via tools/ab_frame.py
-# --flag vox_tent before changing the default.
+# --flag vox_tent before changing the default.  NOTE: only active when the
+# volume depth D <= 16 (the unrolled D-term FMA scales linearly in D; past
+# that the gather path wins) — _fetch_vox warns once if the flag is set but
+# a deeper volume forces the fallback, so A/B runs aren't misread as nulls.
 _VOX_TENT = os.environ.get("GDBN_VOX_TENT", "0") == "1"
+_vox_tent_guard_warned = False
 
 
 class EncodedSamples(NamedTuple):
@@ -445,7 +462,15 @@ def encode_samples(
         zc2 = jnp.maximum(cimg[..., 2], 1e-6)
         u = (cimg[..., 0] / zc2) / Wf
         v = (cimg[..., 1] / zc2) / Hf
-        mip_feat = mip_texture_fetch_packed(
+        # _mip._PAIR read at trace time (tools/ab_frame.py --flag mip_pair
+        # flips it between traces); the table layout must match — the
+        # network's pack site reads the same flag.
+        fetch = (
+            _mip.mip_texture_fetch_pair
+            if _mip._PAIR
+            else mip_texture_fetch_packed
+        )
+        mip_feat = fetch(
             packed,
             pyr_offsets,
             (Hf, Wf),

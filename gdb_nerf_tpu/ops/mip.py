@@ -22,12 +22,24 @@ texel centers at ``(i + 0.5) / size`` (so the sample point is
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 # Read at trace time so tools/ab_frame.py can flip grid_sample._TENT
 # between traces (import-time copies would freeze the A value).
 from gdb_nerf_tpu.ops import grid_sample as _gs
+
+# Level-pair packed mip table (pack_pyramid_pair + mip_texture_fetch_pair):
+# ONE gather row per (sample, view) carries BOTH trilinear levels — the
+# child's 2x2 patch and the ceil level's covering 3x3 patch — halving the
+# fetch's gather-row count on this row-rate-bound chip (the mip fetch's DCE
+# marginal was 14.8 ms vs a ~5.9 ms row floor, PERF.md).  Rows widen
+# 4C=76 -> 13C=247 lanes, i.e. the padded row goes 128 -> 256 lanes: the
+# same physical gather bytes for half the rows.  A/B via
+# tools/ab_frame.py --flag mip_pair before changing the default.
+_PAIR = os.environ.get("GDBN_MIP_PAIR", "0") == "1"
 
 
 def build_pyramid(img: jax.Array, max_level: int) -> list[jax.Array]:
@@ -181,6 +193,163 @@ def build_pack_pyramid(feat: jax.Array, rgb: jax.Array, max_level: int):
     sizes = [(H >> l) * (W >> l) for l in range(max_level)]
     offsets = jnp.asarray(np.cumsum([0] + sizes), jnp.int32)
     return packed, offsets
+
+
+def pack_pyramid_pair(levels: list[jax.Array]):
+    """Level-pair packing: one gather row serves BOTH trilinear mip levels.
+
+    The row for texel (l, y, x) is ``[child 2x2 patch (4C) | parent 3x3
+    patch (9C)]`` where the parent patch is level l+1 anchored at
+    ``(y//2 - 1, x//2 - 1)`` with edge clamp.  The 3x3 extent covers every
+    parent 2x2 footprint reachable from a sample whose floor tap lands on
+    child texel (y, x): with continuous child coord x_c in [bx, bx+1) the
+    parent coord is x_c/2 - 0.25, whose floor is bx//2 - 1 or bx//2 (even
+    bx) / exactly bx//2 (odd bx) — always inside the anchored 3x3.  The top
+    level's parent slots are zeros: lod is clamped to max_level, so its
+    floor tap can only be the top level when frac == 0 exactly and the
+    parent contribution is multiplied by zero.
+
+    Returns (packed, offsets) with packed (..., T, 13C) — same offsets
+    contract as ``pack_pyramid``.
+    """
+    import numpy as np
+
+    from gdb_nerf_tpu.ops.grid_sample import pack_bilinear_2d
+
+    def shift(t, d, axis):
+        # out[k] = t[clamp(k + d)] along axis (edge replication).
+        if d == 0:
+            return t
+        idx = [slice(None)] * t.ndim
+        edge = [slice(None)] * t.ndim
+        if d > 0:
+            idx[axis] = slice(d, None)
+            edge[axis] = slice(-1, None)
+            parts = [t[tuple(idx)]] + [t[tuple(edge)]] * d
+        else:
+            idx[axis] = slice(None, d)
+            edge[axis] = slice(None, 1)
+            parts = [t[tuple(edge)]] * (-d) + [t[tuple(idx)]]
+        return jnp.concatenate(parts, axis=axis)
+
+    L = len(levels) - 1
+    rows = []
+    for l, lev in enumerate(levels):
+        child = pack_bilinear_2d(lev)  # (..., H_l, W_l, 4C)
+        if l < L:
+            par = levels[l + 1]
+            sh = []
+            for dy in (-1, 0, 1):
+                tdy = shift(par, dy, axis=-3)
+                for dx in (-1, 0, 1):
+                    sh.append(shift(tdy, dx, axis=-2))
+            P = jnp.concatenate(sh, axis=-1)  # (..., Hp, Wp, 9C)
+            # Child texel (y, x) reads P[y//2, x//2] (P[k] holds the patch
+            # anchored at k-1): nearest 2x upsample.
+            P = jnp.repeat(jnp.repeat(P, 2, axis=-3), 2, axis=-2)
+        else:
+            P = jnp.zeros(
+                child.shape[:-1] + (9 * lev.shape[-1],), child.dtype
+            )
+        rows.append(jnp.concatenate([child, P], axis=-1))
+
+    flat = [r.reshape(*r.shape[:-3], -1, r.shape[-1]) for r in rows]
+    packed = jnp.concatenate(flat, axis=-2)
+    sizes = [l.shape[-3] * l.shape[-2] for l in levels]
+    offsets = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+    return packed, offsets
+
+
+def mip_texture_fetch_pair(
+    packed: jax.Array,
+    offsets: jax.Array,
+    base_hw: tuple[int, int],
+    uv: jax.Array,
+    lod: jax.Array,
+    max_level: int,
+) -> jax.Array:
+    """Trilinear fetch from a ``pack_pyramid_pair`` table: ONE gather row.
+
+    Same clamp/tent semantics as ``mip_texture_fetch_packed`` (nvdiffrast
+    mip_level_bias trilinear, /root/reference/networks/gdb_nerf/
+    bundle_sampler.py:355-359); the ceil-level bilinear is reconstructed
+    from the stored 3x3 parent patch with 3-tap tent weights per axis —
+    algebraically the same two-point lerp, so results match the two-tap
+    fetch to ulp-level f32 rounding.
+
+    Args: identical to ``mip_texture_fetch_packed`` with packed (T, 13C);
+    ``offsets`` is unused (the flat offset is the closed-form geometric
+    series) but kept for interface symmetry.
+    """
+    del offsets
+    H0, W0 = base_hw
+    lod = jnp.clip(lod, 0.0, float(max_level))
+    l0f = jnp.floor(lod)
+    frac = (lod - l0f)[..., None]
+    T, C13 = packed.shape
+    C = C13 // 13
+    T0 = H0 * W0
+    assert H0 % (1 << max_level) == 0 and W0 % (1 << max_level) == 0, (
+        base_hw,
+        max_level,
+    )
+
+    s0 = jnp.exp2(-l0f)
+    Wl = W0 * s0
+    Hl = H0 * s0
+    off = jnp.round((4.0 / 3.0) * (T0 - T0 * s0 * s0)).astype(jnp.int32)
+    xc = uv[..., 0] * W0
+    yc = uv[..., 1] * H0
+    x = jnp.clip(xc * s0 - 0.5, 0.0, Wl - 1.0)
+    y = jnp.clip(yc * s0 - 0.5, 0.0, Hl - 1.0)
+    bx = jnp.floor(x)
+    by = jnp.floor(y)
+    wx = (x - bx)[..., None].astype(packed.dtype)
+    wy = (y - by)[..., None].astype(packed.dtype)
+    idx = off + by.astype(jnp.int32) * Wl.astype(jnp.int32) + bx.astype(
+        jnp.int32
+    )
+    rows = jnp.take(packed, idx, axis=0, mode="clip")  # (..., 13C)
+
+    v00 = rows[..., 0 * C : 1 * C]
+    v01 = rows[..., 1 * C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C : 4 * C]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    child = top * (1 - wy) + bot * wy
+
+    # Ceil-level coords (floor level's scale / 2, clamped at the top).
+    s1 = jnp.where(l0f >= float(max_level), s0, s0 * 0.5)
+    xp = jnp.clip(xc * s1 - 0.5, 0.0, W0 * s1 - 1.0)
+    yp = jnp.clip(yc * s1 - 0.5, 0.0, H0 * s1 - 1.0)
+    # Position inside the stored 3x3 patch (anchor = floor(b/2) - 1); the
+    # pack docstring proves ax, ay land in [0, 2].
+    ax = xp - (jnp.floor(bx * 0.5) - 1.0)
+    ay = yp - (jnp.floor(by * 0.5) - 1.0)
+
+    def tent3(a):
+        return [
+            jnp.maximum(0.0, 1.0 - jnp.abs(a - float(p)))[..., None].astype(
+                packed.dtype
+            )
+            for p in range(3)
+        ]
+
+    wpx = tent3(ax)
+    wpy = tent3(ay)
+    parent = None
+    for py in range(3):
+        row_acc = None
+        for px in range(3):
+            sl = rows[..., (4 + py * 3 + px) * C : (5 + py * 3 + px) * C]
+            term = sl * wpx[px]
+            row_acc = term if row_acc is None else row_acc + term
+        term = row_acc * wpy[py]
+        parent = term if parent is None else parent + term
+
+    frac = frac.astype(child.dtype)
+    return child * (1 - frac) + parent * frac
 
 
 def mip_texture_fetch_packed(

@@ -213,17 +213,34 @@ def test_fetch_vox_tent_matches_gather(rng, monkeypatch):
         ball_radii=jnp.ones((H, W, S)),
         samples_per_bundle=jnp.full((H, W), S),
     )
+    # Pin the ref side OFF explicitly: if GDBN_VOX_TENT=1 is in the
+    # environment, module-level _VOX_TENT is already True and both sides
+    # would take the tent path, making the comparison vacuous.
+    monkeypatch.setattr(bundles, "_VOX_TENT", False)
     ref = bundles._fetch_vox(vol, samples)
     monkeypatch.setattr(bundles, "_VOX_TENT", True)
     tent = bundles._fetch_vox(vol, samples)
-    # f32 weight arithmetic differs in the last ulp (1-(d1-zc) vs zc-d0);
-    # both quantize identically at the bf16 pipeline dtype.
+    # f32 weight arithmetic differs in the last ulp (1-(d1-zc) vs zc-d0).
     np.testing.assert_allclose(
         np.asarray(tent), np.asarray(ref), rtol=2e-6, atol=2e-6
     )
     # The packed (D, H, W*C) volume form must hit the same path.
     tent_p = bundles._fetch_vox(vol.reshape(D, H, W * C), samples, vox_channels=C)
     np.testing.assert_array_equal(np.asarray(tent_p), np.asarray(tent))
+    # bf16 volume: both paths compute weights in f32 off the same zc and
+    # multiply the same bf16 rows — verify the pipeline-dtype agreement
+    # (tent weights cast to the volume dtype before the FMA).
+    vol16 = vol.astype(jnp.bfloat16)
+    monkeypatch.setattr(bundles, "_VOX_TENT", False)
+    ref16 = bundles._fetch_vox(vol16, samples)
+    monkeypatch.setattr(bundles, "_VOX_TENT", True)
+    tent16 = bundles._fetch_vox(vol16, samples)
+    np.testing.assert_allclose(
+        np.asarray(tent16, np.float32),
+        np.asarray(ref16, np.float32),
+        rtol=1.6e-2,
+        atol=1.6e-2,
+    )
 
 
 def test_fetch_vox_packed_matches_4d(rng, monkeypatch):

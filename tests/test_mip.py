@@ -157,3 +157,59 @@ def test_build_pack_pyramid_fetch_equivalence(rng):
     a = mip.mip_texture_fetch_packed(p0, off, (16, 24), uv, lod, 3)
     b = mip.mip_texture_fetch_packed(p1, off, (16, 24), uv, lod, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_pair_fetch_matches_reference_fetch(rng):
+    """The one-row level-pair fetch (pack_pyramid_pair +
+    mip_texture_fetch_pair) must equal the all-level tent fetch at random
+    uv (incl. out-of-range) and lod (incl. below 0 / above max)."""
+    img = jnp.array(rng.standard_normal((32, 16, 5)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    packed, offsets = mip.pack_pyramid_pair(levels)
+    assert packed.shape[-1] == 13 * 5
+    r2 = np.random.default_rng(7)
+    uv = jnp.array(r2.uniform(-0.2, 1.2, (400, 2)), jnp.float32)
+    lod = jnp.array(r2.uniform(-1.0, 4.5, (400,)), jnp.float32)
+    ref = mip.mip_texture_fetch(levels, uv, lod, 3)
+    ours = mip.mip_texture_fetch_pair(packed, offsets, (32, 16), uv, lod, 3)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pair_fetch_exact_integer_lods(rng):
+    """At integer lod the pair fetch's parent weight is frac=0 (floor
+    level) — including lod == max_level, where the parent slots are zeros
+    by construction; the result must still be the exact top-level bilinear."""
+    img = jnp.array(rng.standard_normal((16, 16, 3)).astype(np.float32))
+    levels = mip.build_pyramid(img, 2)
+    packed, offsets = mip.pack_pyramid_pair(levels)
+    r2 = np.random.default_rng(3)
+    uv = jnp.array(r2.uniform(0.0, 1.0, (150, 2)), jnp.float32)
+    for l in range(3):
+        lod = jnp.full((150,), float(l))
+        ref = mip.mip_texture_fetch(levels, uv, lod, 2)
+        ours = mip.mip_texture_fetch_pair(packed, offsets, (16, 16), uv, lod, 2)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pair_pack_batched_vmap(rng):
+    import jax
+
+    imgs = jnp.array(rng.standard_normal((2, 3, 8, 8, 2)).astype(np.float32))
+    levels = mip.build_pyramid(imgs, 2)
+    packed, offsets = mip.pack_pyramid_pair(levels)
+    assert packed.shape[:2] == (2, 3) and packed.shape[-1] == 26
+    uv = jnp.array(rng.uniform(0, 1, (3, 20, 2)), jnp.float32)
+    lod = jnp.array(rng.uniform(0, 2, (3, 20)), jnp.float32)
+    out = jax.vmap(
+        lambda p, u, l: mip.mip_texture_fetch_pair(p, offsets, (8, 8), u, l, 2)
+    )(packed[0], uv, lod)
+    ref = jax.vmap(
+        lambda lv, u, l: mip.mip_texture_fetch(lv, u, l, 2)
+    )([l[0] for l in levels], uv, lod)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

@@ -258,3 +258,24 @@ def test_network_enc_flat_matches_default(rng, monkeypatch):
         np.testing.assert_allclose(
             outs[True][k], outs[False][k], rtol=1e-5, atol=1e-5, err_msg=k
         )
+
+
+def test_network_mip_pair_matches_default(rng, monkeypatch):
+    """GDBN_MIP_PAIR=1 (one-row level-pair mip table, ops/mip.py::
+    pack_pyramid_pair) must leave the eval forward numerically unchanged —
+    the parent 3x3 tent reconstruction is the same two-point lerp as the
+    ceil tap, to f32 ulp rounding."""
+    from gdb_nerf_tpu.ops import mip as mip_mod
+
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    monkeypatch.setattr(mip_mod, "_PAIR", False)
+    ret0, _, _ = net.apply(vars_, batch, train=False)
+    monkeypatch.setattr(mip_mod, "_PAIR", True)
+    ret1, _, _ = net.apply(vars_, batch, train=False)
+    for k in ["rgb", "nerf_depth", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=2e-6, atol=2e-6,
+            err_msg=k,
+        )

@@ -31,6 +31,7 @@ FLAGS = {
     "tent": ("gdb_nerf_tpu.ops.grid_sample", "_TENT"),
     "enc_flat": ("gdb_nerf_tpu.ops.bundles", "_ENC_FLAT"),
     "vox_tent": ("gdb_nerf_tpu.ops.bundles", "_VOX_TENT"),
+    "mip_pair": ("gdb_nerf_tpu.ops.mip", "_PAIR"),
 }
 FLAG_VALUES = {"tent": ("pair", "stack")}  # default (False, True)
 
