@@ -56,7 +56,8 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(240)
+# (no pytest.mark.timeout: pytest-timeout isn't installed here, the mark
+# was a silent no-op — the communicate(timeout=220) below is the real bound)
 def test_two_process_bringup(tmp_path):
     port = _free_port()
     procs = []

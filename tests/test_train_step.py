@@ -148,3 +148,39 @@ def test_remat_matches_baseline(rng):
         for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1))
     )
     assert err < 1e-4, f"remat grads diverge: {err}"
+
+
+def test_remat_skip_matches_baseline(rng, monkeypatch):
+    """GDBN_REMAT_SKIP (selective remat, VERDICT r4 task 6) must be purely
+    a memory/time trade: same param tree, same loss, same gradients as full
+    remat, for each skippable submodule."""
+    from gdb_nerf_tpu.models import network as net_mod
+    from gdb_nerf_tpu.train.step import make_loss_fn
+
+    batch = _train_batch(rng, H=32, W=32)
+    kw = dict(mvs_num_depth=(16, 8), max_num_samples=2, nerf_chunk_size=8 * 16)
+    net_r = Network(remat=True, **kw)
+    tx = optax.adam(1e-3)
+    state = init_train_state(net_r, tx, batch)
+
+    def run():
+        loss_fn = make_loss_fn(net_r, [0.05], use_perceptual=False)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (loss, (_, stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        return float(loss), grads
+
+    monkeypatch.setattr(net_mod, "_REMAT_SKIP", frozenset())
+    loss0, g0 = run()
+    for skip in ("feature", "depth", "nerf", "decoder", "encode"):
+        monkeypatch.setattr(net_mod, "_REMAT_SKIP", frozenset({skip}))
+        loss1, g1 = run()
+        assert abs(loss0 - loss1) < 1e-5 * max(1.0, abs(loss0)), skip
+        err = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+            )
+        )
+        assert err < 1e-4, f"{skip}: grads diverge by {err}"
