@@ -15,8 +15,14 @@ Knockouts:
   raydiff  ray-difference features (elementwise normalize chains)
   vox      cost-volume sample fetch
   encode   all of the above (sampler+depthnet+convs+head remain)
-  mvs      replace the DepthNet cascade's outputs with constants
-           (keeps encode/head/decoder; measures FPN+cascade marginal)
+  fpn      zero FeatureNet outputs (kills all FPN convs)
+  cvwarp   zero the homography-warp volume build (both stages)
+  regs     zero both cost-reg U-Nets' outputs
+  dec      zero the RDN decoder (coarse path)
+  head     zero the bundle NeRF head (and everything upstream of it)
+  samp     zero sample_bundles outputs
+  mipgather  keep LOD/coordinate math, kill the gather rows + tap lerp
+  mippack    keep the mip fetch, kill the pyramid build/pack writes
 
 Usage: python tools/ablate_frame.py [--knock none rgbs mip ...] [--n 8]
 """
