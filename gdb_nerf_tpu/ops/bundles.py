@@ -28,11 +28,13 @@ from gdb_nerf_tpu.ops import camera
 from gdb_nerf_tpu.ops.loops import unrolled_vmap
 from gdb_nerf_tpu.ops.grid_sample import (
     gather_patch_bilinear,
+    gather_patch_bilinear_flat,
     grid_sample_3d_packed,
     GATHER_ROW_CLIFF,
     pack_bilinear_2d,
     pack_bilinear_2d_paired,
     pack_patch_2d,
+    pack_patch_2d_slices,
     pack_trilinear_3d,
     sample_2d_packed_pix,
     sample_2d_paired_pix,
@@ -316,6 +318,17 @@ _ENC_FLAT = os.environ.get("GDBN_ENC_FLAT", "0") == "1"
 _VOX_TENT = os.environ.get("GDBN_VOX_TENT", "0") == "1"
 _vox_tent_guard_warned = False
 
+# Lean shared-patch member fetch (round-5 tile-fetch model, PERF.md): one
+# ps x ps patch row per (bundle, sample, view) serves all b*b member rays —
+# bsq x fewer gather tile-fetches than the per-member 2x2 rows (the member
+# fetch's DCE marginal is 9.0 ms ≈ its row floor).  ps*ps*3 must stay
+# <= 128 lanes (one gather tile): ps=6 -> 108 lanes.  Exact whenever the
+# members' bilinear footprints fit the patch (group spread <= ps-2 px in
+# the source view); overflow clamps to the patch edge.  Combine is the
+# unrolled slice-FMA form (gather_patch_bilinear_flat) — NOT the round-2
+# einsum that lost 46 ms.  A/B: tools/ab_frame.py --flag member_patch.
+_MEMBER_PATCH = int(os.environ.get("GDBN_MEMBER_PATCH", "0"))
+
 
 class EncodedSamples(NamedTuple):
     """Per-sample features gathered from source views and the cost volume.
@@ -433,7 +446,12 @@ def encode_samples(
         # index-space coords = pixel coords - 0.5 (align_corners=False).
         cx = img[..., 0] / zc - 0.5
         cy = img[..., 1] / zc - 0.5
-        if member_patch:
+        if _MEMBER_PATCH:
+            flat = gather_patch_bilinear_flat(
+                src_img, jnp.stack([cx, cy], axis=-1), ps=_MEMBER_PATCH
+            )  # (H, W, S, bsq*3)
+            rgbs = flat.reshape(H, W, S, bsq, 3)
+        elif member_patch:
             rgbs = gather_patch_bilinear(
                 src_img, jnp.stack([cx, cy], axis=-1), ps=4
             )  # (H, W, S, bsq, 3)
@@ -503,10 +521,13 @@ def encode_samples(
     H_src, W_src = src_images.shape[-3:-1]
     paired = (
         not member_patch
+        and not _MEMBER_PATCH
         and H_src * W_src > GATHER_ROW_CLIFF
         and W_src % 2 == 0
     )
-    if member_patch:
+    if _MEMBER_PATCH:
+        src_packed = pack_patch_2d_slices(src_images, _MEMBER_PATCH)
+    elif member_patch:
         src_packed = pack_patch_2d(src_images, 4)  # (V, H, W, 48)
     elif paired:
         src_packed = pack_bilinear_2d_paired(src_images)  # (V, H, W/2, 24)

@@ -320,6 +320,78 @@ def pack_patch_2d(img: jax.Array, ps: int = 4) -> jax.Array:
     return jnp.concatenate(cols, axis=-1)
 
 
+def pack_patch_2d_slices(img: jax.Array, ps: int) -> jax.Array:
+    """pack_patch_2d with slice+edge-concat shifts instead of arange takes.
+
+    Identical layout and clamping; every shifted view is a static slice
+    plus edge replication, which XLA fuses into the single table write
+    (the take-with-iota form lowers as real row gathers).
+    """
+
+    def shift(t, d, axis):
+        # out[k] = t[clamp(k + d)], d >= 0.
+        if d == 0:
+            return t
+        idx = [slice(None)] * t.ndim
+        edge = [slice(None)] * t.ndim
+        idx[axis] = slice(d, None)
+        edge[axis] = slice(-1, None)
+        return jnp.concatenate([t[tuple(idx)]] + [t[tuple(edge)]] * d, axis=axis)
+
+    cols = []
+    for dy in range(ps):
+        row = shift(img, dy, -3)
+        for dx in range(ps):
+            cols.append(shift(row, dx, -2))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def gather_patch_bilinear_flat(
+    packed: jax.Array, coords: jax.Array, ps: int
+) -> jax.Array:
+    """``gather_patch_bilinear`` with an unrolled slice-FMA combine.
+
+    Same anchor/clamp semantics, but the bilinear reconstruction stays in
+    the gathered row's wide-lane layout: per member, the x-axis tents are
+    applied to ps C-lane slices of the row and the y-axis tents to the ps
+    partial rows — 42 fused vector FMAs at ps=6 — with NO einsum and NO
+    (..., K, ps, C) narrow-minor intermediates (the round-2 patch fetch
+    lost 46 ms to exactly those: einsum materialized (..., 4, 4, 3) buffers
+    tile-padded ~42x, PERF.md).  Returns (..., K*C) with members flattened
+    into lanes; reshape to (..., K, C) is row-major identical.
+    """
+    H, W, Cpp = packed.shape
+    C = Cpp // (ps * ps)
+    K = coords.shape[-2]
+    x = jnp.clip(coords[..., 0], 0.0, W - 1.0)  # (..., K)
+    y = jnp.clip(coords[..., 1], 0.0, H - 1.0)
+    ax = jnp.clip(jnp.floor(jnp.min(x, axis=-1)).astype(jnp.int32), 0, W - 1)
+    ay = jnp.clip(jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32), 0, H - 1)
+
+    rows = jnp.take(packed.reshape(H * W, Cpp), ay * W + ax, axis=0, mode="clip")
+
+    axf = ax.astype(x.dtype)
+    ayf = ay.astype(y.dtype)
+    outs = []
+    for k in range(K):
+        lx = jnp.clip(x[..., k] - axf, 0.0, ps - 1.0)  # (...,)
+        ly = jnp.clip(y[..., k] - ayf, 0.0, ps - 1.0)
+        acc = None
+        for i in range(ps):
+            wy = jnp.clip(1.0 - jnp.abs(ly - float(i)), 0.0, 1.0)
+            row_i = None
+            for j in range(ps):
+                wx = jnp.clip(1.0 - jnp.abs(lx - float(j)), 0.0, 1.0)
+                term = rows[
+                    ..., (i * ps + j) * C : (i * ps + j + 1) * C
+                ] * wx[..., None].astype(packed.dtype)
+                row_i = term if row_i is None else row_i + term
+            term = row_i * wy[..., None].astype(packed.dtype)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)  # (..., K*C)
+
+
 def gather_patch_bilinear(
     packed: jax.Array, coords: jax.Array, ps: int = 4
 ) -> jax.Array:

@@ -304,3 +304,62 @@ def test_tent_stack_matches_pair(rng, monkeypatch):
         np.testing.assert_allclose(
             outs["stack", key], outs["pair", key], rtol=0, atol=1e-6
         )
+
+
+def test_pack_patch_slices_matches_take_form(rng):
+    from gdb_nerf_tpu.ops import grid_sample
+
+    img = jnp.array(rng.standard_normal((9, 11, 3)).astype(np.float32))
+    a = grid_sample.pack_patch_2d(img, 4)
+    b = grid_sample.pack_patch_2d_slices(img, 4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = grid_sample.pack_patch_2d(img, 6)
+    d = grid_sample.pack_patch_2d_slices(img, 6)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_gather_patch_flat_exact_when_group_fits(rng):
+    from gdb_nerf_tpu.ops import grid_sample
+
+    """When every member's bilinear footprint fits the ps x ps patch
+    (group spread <= ps-2), the flat slice-FMA combine must equal the
+    per-member packed 2x2 fetch exactly (same taps, same weights)."""
+    H, W, C = 16, 20, 3
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    packed6 = grid_sample.pack_patch_2d_slices(img, 6)
+    packed2 = grid_sample.pack_bilinear_2d(img)
+    # Groups of K=4 points with spread <= 3 px (fits ps=6), interior.
+    base = rng.uniform(2.0, 12.0, (50, 1, 2)).astype(np.float32)
+    off = rng.uniform(0.0, 3.0, (50, 4, 2)).astype(np.float32)
+    coords = jnp.asarray(base + off)
+    flat = grid_sample.gather_patch_bilinear_flat(packed6, coords, 6)
+    got = np.asarray(flat).reshape(50, 4, C)
+    ref = np.asarray(
+        grid_sample.sample_2d_packed_pix(
+            packed2, coords[..., 0], coords[..., 1], padding_mode="border"
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+    # And it must agree with the einsum patch fetch everywhere (same
+    # anchor/clamp semantics, different arithmetic order).
+    ein = np.asarray(grid_sample.gather_patch_bilinear(packed6, coords, 6))
+    np.testing.assert_allclose(got, ein, rtol=2e-6, atol=2e-6)
+
+
+def test_gather_patch_flat_overflow_clamps(rng):
+    from gdb_nerf_tpu.ops import grid_sample
+
+    """Members beyond the patch edge degrade to clamped-in-patch values
+    (bounded error, no garbage) — same behavior as gather_patch_bilinear."""
+    H, W, C = 12, 12, 2
+    img = jnp.array(rng.standard_normal((H, W, C)).astype(np.float32))
+    packed = grid_sample.pack_patch_2d_slices(img, 4)
+    coords = jnp.asarray(
+        np.array([[[3.0, 3.0], [9.5, 3.0], [3.0, 9.5], [9.5, 9.5]]], np.float32)
+    )  # spread 6.5 px >> ps-2
+    flat = np.asarray(
+        grid_sample.gather_patch_bilinear_flat(packed, coords, 4)
+    ).reshape(1, 4, C)
+    ref = np.asarray(grid_sample.gather_patch_bilinear(packed, coords, 4))
+    np.testing.assert_allclose(flat, ref, rtol=2e-6, atol=2e-6)
+    assert np.all(np.isfinite(flat))

@@ -32,8 +32,13 @@ FLAGS = {
     "enc_flat": ("gdb_nerf_tpu.ops.bundles", "_ENC_FLAT"),
     "vox_tent": ("gdb_nerf_tpu.ops.bundles", "_VOX_TENT"),
     "mip_pair": ("gdb_nerf_tpu.ops.mip", "_PAIR"),
+    # int-valued: off=0 (per-member 2x2 rows), on=6 (6x6 shared patch).
+    # NOT exact by contract: members whose footprints overflow the patch
+    # clamp to its edge — read the printed |off-on| as the approximation
+    # error, not a bug.
+    "member_patch": ("gdb_nerf_tpu.ops.bundles", "_MEMBER_PATCH"),
 }
-FLAG_VALUES = {"tent": ("pair", "stack")}  # default (False, True)
+FLAG_VALUES = {"tent": ("pair", "stack"), "member_patch": (0, 6)}
 
 
 def main():
