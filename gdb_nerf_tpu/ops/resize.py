@@ -40,6 +40,51 @@ def _downscale_axis_exact(img: jax.Array, axis: int, k: int) -> jax.Array:
     return (img[tuple(lo)] + img[tuple(hi)]) * img.dtype.type(0.5)
 
 
+def _upscale_axis_exact(img: jax.Array, axis: int, k: int) -> jax.Array:
+    """Integer-factor bilinear upscale along one axis via slices + fixed
+    per-phase two-tap FMAs — no gather rows, no per-pixel coordinate math.
+
+    Under align_corners=False, dst pixel ``k*j + p`` samples src coordinate
+    ``j + (p + 0.5)/k - 0.5``: the fractional part is the SAME for every j
+    within a phase p, so each phase is one edge-clamped shifted slice pair
+    blended with static weights, interleaved back by reshape.  Border
+    semantics match the grid-sample path exactly (the clipped coordinate at
+    the edges reproduces edge replication)."""
+
+    def shift(t, d):
+        # out[j] = t[clamp(j + d)] along axis, d in {-1, 0, 1}.
+        if d == 0:
+            return t
+        idx = [slice(None)] * t.ndim
+        edge = [slice(None)] * t.ndim
+        if d > 0:
+            idx[axis] = slice(d, None)
+            edge[axis] = slice(-1, None)
+            parts = [t[tuple(idx)], t[tuple(edge)]]
+        else:
+            idx[axis] = slice(None, d)
+            edge[axis] = slice(None, 1)
+            parts = [t[tuple(edge)], t[tuple(idx)]]
+        return jnp.concatenate(parts, axis=axis)
+
+    phases = []
+    for p in range(k):
+        f = (p + 0.5) / k - 0.5
+        b = int(jnp.floor(f))  # -1 or 0
+        w = img.dtype.type(f - b)
+        if w == 0.0:
+            phases.append(shift(img, b))
+        else:
+            phases.append(
+                shift(img, b) * (img.dtype.type(1.0) - w) + shift(img, b + 1) * w
+            )
+    stacked = jnp.stack(phases, axis=axis + 1 if axis >= 0 else img.ndim + axis + 1)
+    ax = axis if axis >= 0 else img.ndim + axis
+    shape = list(img.shape)
+    shape[ax] = shape[ax] * k
+    return stacked.reshape(shape)
+
+
 def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize of (H, W, C) to (out_h, out_w, C)."""
     H, W, _ = img.shape
@@ -52,6 +97,12 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
         # of the DTU frame on the gather path).
         img = _downscale_axis_exact(img, img.ndim - 3, H // out_h)
         return _downscale_axis_exact(img, img.ndim - 2, W // out_w)
+    if out_h % H == 0 and out_w % W == 0:
+        # Exact integer-factor upscale (e.g. the (H/b, W/b) depth/opacity
+        # maps back to full res): phase-static two-tap slices, zero gather
+        # rows — outright work removal vs the grid path (model v3, PERF.md).
+        img = _upscale_axis_exact(img, img.ndim - 3, out_h // H)
+        return _upscale_axis_exact(img, img.ndim - 2, out_w // W)
     # Normalized dst pixel centers map to [-1, 1] src coords directly under
     # the align_corners=False convention.
     gx = 2.0 * (jnp.arange(out_w, dtype=img.dtype) + 0.5) / out_w - 1.0

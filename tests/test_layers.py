@@ -137,3 +137,26 @@ def test_resize_bilinear_integer_factor_fast_path(rng):
             ours, ref.transpose(1, 2, 0), rtol=1e-5, atol=1e-6,
             err_msg=str(out),
         )
+
+
+def test_resize_bilinear_integer_upscale_fast_path(rng):
+    """The phase-static slice upscale (k*H, k*W) must match torch
+    F.interpolate and the general grid path it replaces (the depth/opacity
+    maps upscale (H/b, W/b) -> full res every frame)."""
+    from gdb_nerf_tpu.ops.resize import resize_bilinear
+
+    img = rng.standard_normal((8, 10, 3)).astype(np.float32)
+    for out in [(16, 20), (32, 40), (24, 30), (16, 10), (8, 30)]:
+        ours = np.asarray(resize_bilinear(jnp.asarray(img), out))
+        ref = F.interpolate(
+            torch.from_numpy(img.transpose(2, 0, 1))[None],
+            size=out,
+            mode="bilinear",
+            align_corners=False,
+        )[0].numpy()
+        # atol 3e-6: the separable y-then-x order differs from torch's
+        # x-then-y in the last ulp for odd factors.
+        np.testing.assert_allclose(
+            ours, ref.transpose(1, 2, 0), rtol=1e-5, atol=3e-6,
+            err_msg=str(out),
+        )
