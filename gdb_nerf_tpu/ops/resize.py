@@ -67,10 +67,15 @@ def _upscale_axis_exact(img: jax.Array, axis: int, k: int) -> jax.Array:
             parts = [t[tuple(edge)], t[tuple(idx)]]
         return jnp.concatenate(parts, axis=axis)
 
+    import math
+
     phases = []
     for p in range(k):
         f = (p + 0.5) / k - 0.5
-        b = int(jnp.floor(f))  # -1 or 0
+        # Pure-Python phase constants: jnp ops on Python scalars inside a
+        # jit trace can yield 0-d tracers on this jax build (the first CLI
+        # drive failed with ConcretizationTypeError at int(jnp.floor(f))).
+        b = math.floor(f)  # -1 or 0
         w = img.dtype.type(f - b)
         if w == 0.0:
             phases.append(shift(img, b))

@@ -160,3 +160,12 @@ def test_resize_bilinear_integer_upscale_fast_path(rng):
             ours, ref.transpose(1, 2, 0), rtol=1e-5, atol=3e-6,
             err_msg=str(out),
         )
+        # Under jit too: phase constants must stay trace-safe (the first
+        # version died with ConcretizationTypeError inside the depth-range
+        # upscale of the real eval graph).
+        import jax
+
+        jitted = np.asarray(
+            jax.jit(lambda t: resize_bilinear(t, out))(jnp.asarray(img))
+        )
+        np.testing.assert_allclose(jitted, ours, rtol=1e-6, atol=1e-6)

@@ -78,7 +78,7 @@ def main():
         )
         network = make_network(cfg)
         loader = make_data_loader(cfg, is_train=False)
-        max_level = int(cfg.mvs.max_mipmap_level)
+        max_level = int(cfg.nerf.max_mipmap_level)
         variables = None
         it = iter(loader)
         del stash[:]
