@@ -6,9 +6,7 @@ set -x
 LOG=${1:-/tmp/r5q}
 mkdir -p "$LOG"
 
-# VERDICT r4 task 3: reconcile bench.py vs measure_frame in one process.
-timeout 3600 python tools/reconcile_timing.py --rounds 5 \
-  > "$LOG/reconcile.log" 2>&1
+# (reconcile_timing already ran this round — see /tmp/r5q/reconcile.log)
 
 # VERDICT r4 task 1b: the mip-fetch LOD histogram per protocol.
 timeout 5400 python tools/measure_lod.py --cfgs dtu_eval llff_eval nerf_eval \
