@@ -326,7 +326,12 @@ class Network(nn.Module):
             img_feat = jnp.concatenate(
                 [img_feat, src_small.astype(img_feat.dtype)], axis=-1
             ).astype(cdtype)  # (B, V, H, W, F+3)
-            pyramid = mip.build_pyramid(img_feat, self.max_mipmap_level)
+            # GDBN_MIP_L0 (ops/mip.py::_L0): the fetch only touches level-0
+            # rows, so don't build or pack levels 1..max — a gather from
+            # the concatenated table would otherwise keep the whole
+            # pyramid-build chain live.
+            n_levels = 0 if mip._L0 else self.max_mipmap_level
+            pyramid = mip.build_pyramid(img_feat, n_levels)
             packed, pyr_offsets = mip.pack_pyramid(pyramid)
 
         S = self.max_num_samples

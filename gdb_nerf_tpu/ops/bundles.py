@@ -468,34 +468,44 @@ def encode_samples(
         # |bundle_xyz - cam_xyz| (rigid transforms preserve norms), so it is
         # reused to normalize src_diff below.
         dist = jnp.linalg.norm(ccenter, axis=-1)
-        sec_sq = jnp.square(dist / ccenter[..., 2])
-        ratio = jnp.square(dist / samples.ball_radii) - 1.0
-        proj_radii = sec_sq / (
-            jnp.sqrt(jnp.maximum(ratio, 1e-12))
-            + jnp.sqrt(jnp.maximum(sec_sq - 1.0, 1e-12))
-        )
-        lod = jnp.log2(proj_radii / pix_r)  # (H, W, S)
 
         cimg = camera.mm(ccenter, K_scaled.T)
         zc2 = jnp.maximum(cimg[..., 2], 1e-6)
         u = (cimg[..., 0] / zc2) / Wf
         v = (cimg[..., 1] / zc2) / Hf
-        # _mip._PAIR read at trace time (tools/ab_frame.py --flag mip_pair
-        # flips it between traces); the table layout must match — the
-        # network's pack site reads the same flag.
-        fetch = (
-            _mip.mip_texture_fetch_pair
-            if _mip._PAIR
-            else mip_texture_fetch_packed
-        )
-        mip_feat = fetch(
-            packed,
-            pyr_offsets,
-            (Hf, Wf),
-            jnp.stack([u, v], axis=-1),
-            lod,
-            max_mipmap_level,
-        )  # (H, W, S, F)
+        if _mip._L0:
+            # Static level-0 single-tap fetch (see ops/mip.py::_L0 for the
+            # exactness contract): the whole LOD chain below is skipped —
+            # and samples.ball_radii loses its only consumer, so its
+            # producer in the sampler is DCE'd too.
+            mip_feat = _mip.mip_texture_fetch_l0(
+                packed, (Hf, Wf), jnp.stack([u, v], axis=-1)
+            )  # (H, W, S, F)
+        else:
+            sec_sq = jnp.square(dist / ccenter[..., 2])
+            ratio = jnp.square(dist / samples.ball_radii) - 1.0
+            proj_radii = sec_sq / (
+                jnp.sqrt(jnp.maximum(ratio, 1e-12))
+                + jnp.sqrt(jnp.maximum(sec_sq - 1.0, 1e-12))
+            )
+            lod = jnp.log2(proj_radii / pix_r)  # (H, W, S)
+
+            # _mip._PAIR read at trace time (tools/ab_frame.py --flag
+            # mip_pair flips it between traces); the table layout must
+            # match — the network's pack site reads the same flag.
+            fetch = (
+                _mip.mip_texture_fetch_pair
+                if _mip._PAIR
+                else mip_texture_fetch_packed
+            )
+            mip_feat = fetch(
+                packed,
+                pyr_offsets,
+                (Hf, Wf),
+                jnp.stack([u, v], axis=-1),
+                lod,
+                max_mipmap_level,
+            )  # (H, W, S, F)
 
         # Ray difference features.  (direction keeps its own norm rather
         # than the algebraic sqrt(2 - 2 dot): near-parallel target/source

@@ -41,6 +41,46 @@ from gdb_nerf_tpu.ops import grid_sample as _gs
 # tools/ab_frame.py --flag mip_pair before changing the default.
 _PAIR = os.environ.get("GDBN_MIP_PAIR", "0") == "1"
 
+# Static level-0 mip fetch (GDBN_MIP_L0): when the measured LOD population
+# of a protocol sits at lod <= 0 everywhere (tools/measure_lod.py), the
+# ceil-level tap has weight exactly 0 and the floor tap is level 0 at scale
+# 1 — so ONE bilinear tap from the level-0 rows of the packed pyramid is
+# bit-exact, and the entire per-sample LOD chain (sphere-projection radius,
+# log2, exp2 level scales, second tap + its index math, frac blend) plus
+# the ball-radius producer in the sampler become dead code.  This is the
+# "remove work outright" class (PERF.md model v3).  EXACTNESS IS
+# DATA-DEPENDENT: only enable for configs whose LOD histogram shows
+# raw_max <= 0 with margin; tools/ab_frame.py --flag mip_l0 prints the
+# |off-on| residual on the bench scene as the check.
+_L0 = os.environ.get("GDBN_MIP_L0", "0") == "1"
+
+
+def mip_texture_fetch_l0(packed: jax.Array, base_hw: tuple[int, int],
+                         uv: jax.Array) -> jax.Array:
+    """Single level-0 bilinear tap from a pack_pyramid table.
+
+    Identical to ``mip_texture_fetch_packed`` with lod pinned to 0 (see
+    the _L0 comment above for when that is exact): level-0 rows sit at
+    offset 0 with scale 1, so the fetch is a plain clamped bilinear on the
+    2x2-packed rows."""
+    H0, W0 = base_hw
+    C = packed.shape[-1] // 4
+    x = jnp.clip(uv[..., 0] * W0 - 0.5, 0.0, W0 - 1.0)
+    y = jnp.clip(uv[..., 1] * H0 - 0.5, 0.0, H0 - 1.0)
+    bx = jnp.floor(x)
+    by = jnp.floor(y)
+    wx = (x - bx)[..., None].astype(packed.dtype)
+    wy = (y - by)[..., None].astype(packed.dtype)
+    idx = by.astype(jnp.int32) * W0 + bx.astype(jnp.int32)
+    rows = jnp.take(packed, idx, axis=0, mode="clip")
+    v00 = rows[..., 0 * C : 1 * C]
+    v01 = rows[..., 1 * C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C : 4 * C]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
 
 def build_pyramid(img: jax.Array, max_level: int) -> list[jax.Array]:
     """Build a box-filter mip pyramid.

@@ -98,6 +98,26 @@ def test_packed_fetch_matches_reference_fetch(rng):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_l0_fetch_matches_packed_at_nonpositive_lod(rng):
+    """GDBN_MIP_L0's single-tap fetch == the packed trilinear fetch for any
+    lod <= 0 (clip pins the floor level to 0 with frac exactly 0), and the
+    level-0-only table (what network.py packs under the flag) suffices."""
+    img = jnp.array(rng.standard_normal((32, 16, 5)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    packed, offsets = mip.pack_pyramid(levels)
+    r2 = np.random.default_rng(11)
+    uv = jnp.array(r2.uniform(-0.2, 1.2, (400, 2)), jnp.float32)
+    lod = jnp.array(r2.uniform(-3.0, 0.0, (400,)), jnp.float32)
+    ref = mip.mip_texture_fetch_packed(packed, offsets, (32, 16), uv, lod, 3)
+    ours = mip.mip_texture_fetch_l0(packed, (32, 16), uv)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+    # The single-level table network.py builds under the flag hits the
+    # same rows.
+    packed0, _ = mip.pack_pyramid(mip.build_pyramid(img, 0))
+    ours0 = mip.mip_texture_fetch_l0(packed0, (32, 16), uv)
+    np.testing.assert_array_equal(np.asarray(ours0), np.asarray(ours))
+
+
 def test_packed_fetch_batched_vmap(rng):
     import jax
 

@@ -32,6 +32,10 @@ FLAGS = {
     "enc_flat": ("gdb_nerf_tpu.ops.bundles", "_ENC_FLAT"),
     "vox_tent": ("gdb_nerf_tpu.ops.bundles", "_VOX_TENT"),
     "mip_pair": ("gdb_nerf_tpu.ops.mip", "_PAIR"),
+    # NOT exact by contract: bit-exact only where the protocol's LOD
+    # population sits at lod <= 0 (tools/measure_lod.py) — read the
+    # printed |off-on| as the check for the bench scene.
+    "mip_l0": ("gdb_nerf_tpu.ops.mip", "_L0"),
     # int-valued: off=0 (per-member 2x2 rows), on=6 (6x6 shared patch).
     # NOT exact by contract: members whose footprints overflow the patch
     # clamp to its edge — read the printed |off-on| as the approximation
