@@ -50,8 +50,11 @@ def main():
     cache.enable()
     import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # The axon TPU platform does not support host callbacks (measured
+    # 2026-08-20: "UNIMPLEMENTED: axon_pjrt does not support host
+    # send/recv callbacks"), and the LOD is a pure geometry quantity —
+    # identical on CPU — so this tool always runs on the CPU backend.
+    jax.config.update("jax_platforms", "cpu")
 
     from gdb_nerf_tpu.config import load_cfg
     from gdb_nerf_tpu.datasets import make_data_loader

@@ -6,9 +6,8 @@ set -x
 LOG=${1:-/tmp/r5q}
 mkdir -p "$LOG"
 
-# (reconcile_timing already ran this round — see /tmp/r5q/reconcile.log)
-
-# VERDICT r4 task 1b: the mip-fetch LOD histogram per protocol.
+# VERDICT r4 task 1b: the mip-fetch LOD histogram per protocol (decides
+# whether the GDBN_MIP_L0 single-tap path is admissible per config).
 timeout 5400 python tools/measure_lod.py --cfgs dtu_eval llff_eval nerf_eval \
   > "$LOG/lod.log" 2>&1
 
@@ -17,6 +16,3 @@ timeout 5400 python tools/measure_frame.py --cfg configs/llff_eval.yaml \
   > "$LOG/llff_frame.log" 2>&1
 timeout 5400 python tools/measure_frame.py --cfg configs/nerf_eval.yaml \
   --set synthetic_hw [800,800] > "$LOG/nerf_frame.log" 2>&1
-
-# Official protocol at the round-5 head (the only headline number).
-timeout 3600 python bench.py > "$LOG/bench.log" 2>&1
