@@ -329,8 +329,10 @@ class Network(nn.Module):
             # GDBN_MIP_L0 (ops/mip.py::_L0): the fetch only touches level-0
             # rows, so don't build or pack levels 1..max — a gather from
             # the concatenated table would otherwise keep the whole
-            # pyramid-build chain live.
-            n_levels = 0 if mip._L0 else self.max_mipmap_level
+            # pyramid-build chain live.  GDBN_MIP_01: levels 0..1 only.
+            n_levels = (
+                0 if mip._L0 else 1 if mip._01 else self.max_mipmap_level
+            )
             pyramid = mip.build_pyramid(img_feat, n_levels)
             packed, pyr_offsets = mip.pack_pyramid(pyramid)
 

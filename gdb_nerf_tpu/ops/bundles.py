@@ -490,22 +490,30 @@ def encode_samples(
             )
             lod = jnp.log2(proj_radii / pix_r)  # (H, W, S)
 
-            # _mip._PAIR read at trace time (tools/ab_frame.py --flag
-            # mip_pair flips it between traces); the table layout must
-            # match — the network's pack site reads the same flag.
-            fetch = (
-                _mip.mip_texture_fetch_pair
-                if _mip._PAIR
-                else mip_texture_fetch_packed
-            )
-            mip_feat = fetch(
-                packed,
-                pyr_offsets,
-                (Hf, Wf),
-                jnp.stack([u, v], axis=-1),
-                lod,
-                max_mipmap_level,
-            )  # (H, W, S, F)
+            if _mip._01:
+                # Static level-(0,1) two-tap fetch (ops/mip.py::_01):
+                # exact for lod < 1; the dynamic level arithmetic is dead
+                # and the table only carries levels 0..1.
+                mip_feat = _mip.mip_texture_fetch_01(
+                    packed, (Hf, Wf), jnp.stack([u, v], axis=-1), lod
+                )  # (H, W, S, F)
+            else:
+                # _mip._PAIR read at trace time (tools/ab_frame.py --flag
+                # mip_pair flips it between traces); the table layout must
+                # match — the network's pack site reads the same flag.
+                fetch = (
+                    _mip.mip_texture_fetch_pair
+                    if _mip._PAIR
+                    else mip_texture_fetch_packed
+                )
+                mip_feat = fetch(
+                    packed,
+                    pyr_offsets,
+                    (Hf, Wf),
+                    jnp.stack([u, v], axis=-1),
+                    lod,
+                    max_mipmap_level,
+                )  # (H, W, S, F)
 
         # Ray difference features.  (direction keeps its own norm rather
         # than the algebraic sqrt(2 - 2 dot): near-parallel target/source

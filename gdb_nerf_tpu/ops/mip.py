@@ -54,6 +54,55 @@ _PAIR = os.environ.get("GDBN_MIP_PAIR", "0") == "1"
 # |off-on| residual on the bench scene as the check.
 _L0 = os.environ.get("GDBN_MIP_L0", "0") == "1"
 
+# Static level-(0,1) mip fetch (GDBN_MIP_01): EXACT whenever the LOD
+# population sits strictly below 1 (tools/measure_lod.py: every protocol
+# measures lod in [-0.011, +0.024] — a source view would need to be
+# sampled at half the target's density to reach lod 1, which the
+# nearest-camera view selection precludes).  floor(clip(lod)) is then
+# statically 0 and the ceil level statically 1, so the per-sample
+# exp2/where/round/dynamic-offset chains of the general packed fetch are
+# dead; both taps remain, with frac = clip(lod, 0, 1) (for lod <= 0 the
+# clip gives frac exactly 0 — the blend reduces to the level-0 tap
+# bit-exactly).  The pyramid also only needs levels 0..1.
+_01 = os.environ.get("GDBN_MIP_01", "0") == "1"
+
+
+def mip_texture_fetch_01(packed: jax.Array, base_hw: tuple[int, int],
+                         uv: jax.Array, lod: jax.Array) -> jax.Array:
+    """Two-tap trilinear fetch with levels pinned statically to (0, 1).
+
+    Bit-identical to ``mip_texture_fetch_packed`` for any lod < 1 (see the
+    _01 comment above); the packed table needs levels 0 and 1 only."""
+    H0, W0 = base_hw
+    C = packed.shape[-1] // 4
+    frac = jnp.clip(lod, 0.0, 1.0)[..., None]
+
+    def tap(Hl, Wl, off):
+        # Static per-level sizes (Python ints).  Coordinate arithmetic is
+        # bit-identical to the general path's x = (uv*W0)*s - 0.5 with
+        # s = exp2(-l0f) in {1, 0.5}: scaling by a power of two is exact,
+        # so uv*Wl rounds the same.
+        x = jnp.clip(uv[..., 0] * Wl - 0.5, 0.0, Wl - 1.0)
+        y = jnp.clip(uv[..., 1] * Hl - 0.5, 0.0, Hl - 1.0)
+        bx = jnp.floor(x)
+        by = jnp.floor(y)
+        wx = (x - bx)[..., None].astype(packed.dtype)
+        wy = (y - by)[..., None].astype(packed.dtype)
+        idx = off + by.astype(jnp.int32) * Wl + bx.astype(jnp.int32)
+        rows = jnp.take(packed, idx, axis=0, mode="clip")
+        v00 = rows[..., 0 * C : 1 * C]
+        v01 = rows[..., 1 * C : 2 * C]
+        v10 = rows[..., 2 * C : 3 * C]
+        v11 = rows[..., 3 * C : 4 * C]
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    a = tap(H0, W0, 0)
+    b = tap(H0 // 2, W0 // 2, H0 * W0)  # level 1 starts at T0
+    frac = frac.astype(a.dtype)
+    return a * (1 - frac) + b * frac
+
 
 def mip_texture_fetch_l0(packed: jax.Array, base_hw: tuple[int, int],
                          uv: jax.Array) -> jax.Array:

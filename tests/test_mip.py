@@ -118,6 +118,26 @@ def test_l0_fetch_matches_packed_at_nonpositive_lod(rng):
     np.testing.assert_array_equal(np.asarray(ours0), np.asarray(ours))
 
 
+def test_01_fetch_matches_packed_below_level1(rng):
+    """GDBN_MIP_01's static-level-(0,1) fetch == the packed trilinear fetch
+    bit-exactly for any lod < 1 (incl. negatives, where clip makes the
+    ceil-tap weight exactly 0), and the 2-level table network.py packs
+    under the flag suffices."""
+    img = jnp.array(rng.standard_normal((32, 16, 5)).astype(np.float32))
+    levels = mip.build_pyramid(img, 3)
+    packed, offsets = mip.pack_pyramid(levels)
+    r2 = np.random.default_rng(13)
+    uv = jnp.array(r2.uniform(-0.2, 1.2, (400, 2)), jnp.float32)
+    lod = jnp.array(r2.uniform(-1.5, 0.999, (400,)), jnp.float32)
+    ref = mip.mip_texture_fetch_packed(packed, offsets, (32, 16), uv, lod, 3)
+    ours = mip.mip_texture_fetch_01(packed, (32, 16), uv, lod)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+    # The 2-level table built under the flag hits the same rows.
+    packed2, _ = mip.pack_pyramid(mip.build_pyramid(img, 1))
+    ours2 = mip.mip_texture_fetch_01(packed2, (32, 16), uv, lod)
+    np.testing.assert_array_equal(np.asarray(ours2), np.asarray(ours))
+
+
 def test_packed_fetch_batched_vmap(rng):
     import jax
 

@@ -260,6 +260,27 @@ def test_network_enc_flat_matches_default(rng, monkeypatch):
         )
 
 
+def test_network_mip_01_matches_default(rng, monkeypatch):
+    """GDBN_MIP_01 (static level-(0,1) mip fetch) must match the default
+    trilinear path bit-near on any scene whose lods stay below 1 — the
+    measured envelope for every protocol is |lod| < 0.03
+    (tools/measure_lod.py), and the synthetic test scene is in-range."""
+    from gdb_nerf_tpu.ops import mip as mip_mod
+
+    batch = make_synthetic_batch(rng)
+    net = Network(**TINY)
+    vars_ = net.init(jax.random.PRNGKey(0), batch, train=False)
+    monkeypatch.setattr(mip_mod, "_01", False)
+    ret0, _, _ = net.apply(vars_, batch, train=False)
+    monkeypatch.setattr(mip_mod, "_01", True)
+    ret1, _, _ = net.apply(vars_, batch, train=False)
+    for k in ["rgb", "nerf_depth", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(ret0[k]), np.asarray(ret1[k]), rtol=2e-6, atol=2e-6,
+            err_msg=k,
+        )
+
+
 def test_network_mip_l0_runs_and_matches_when_lod_nonpositive(rng, monkeypatch):
     """GDBN_MIP_L0 (static level-0 single-tap mip fetch) traces and runs
     end to end with the level-0-only table; where the scene's LOD

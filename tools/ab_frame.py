@@ -36,6 +36,8 @@ FLAGS = {
     # population sits at lod <= 0 (tools/measure_lod.py) — read the
     # printed |off-on| as the check for the bench scene.
     "mip_l0": ("gdb_nerf_tpu.ops.mip", "_L0"),
+    # Exact for lod < 1 (every protocol measures |lod| < 0.03).
+    "mip_01": ("gdb_nerf_tpu.ops.mip", "_01"),
     # int-valued: off=0 (per-member 2x2 rows), on=6 (6x6 shared patch).
     # NOT exact by contract: members whose footprints overflow the patch
     # clamp to its edge — read the printed |off-on| as the approximation

@@ -73,11 +73,21 @@ def main():
 
     bundles.mip_texture_fetch_packed = tapped
 
+    # The synthetic loader defaults to 512x640 regardless of config — the
+    # protocol size must be passed explicitly (same trap as dump_hlo,
+    # PERF.md "LLFF floor, audited").
+    PROTO_HW = {
+        "dtu_eval": [512, 640],
+        "llff_eval": [640, 960],
+        "nerf_eval": [800, 800],
+    }
     results = {}
     for name in args.cfgs:
+        hw = PROTO_HW.get(name)
         cfg = load_cfg(
             f"configs/{name}.yaml",
-            ["synthetic", "True", "compute_dtype", "bfloat16"],
+            ["synthetic", "True", "compute_dtype", "bfloat16"]
+            + (["synthetic_hw", repr(hw)] if hw else []),
         )
         network = make_network(cfg)
         loader = make_data_loader(cfg, is_train=False)
