@@ -21,6 +21,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--marginal", action="store_true",
+                    help="report the unbiased two-point marginal "
+                    "(t(20)-t(4))/16 like bench.py — the single-chain "
+                    "t(N)/N overstates the frame by ~30ms/N of launch "
+                    "overhead (tools/reconcile_timing.py)")
     ap.add_argument("--cfg", default="configs/dtu_eval.yaml")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--set", nargs="*", default=[],
@@ -61,13 +66,33 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     g = jax.jit(run_n, static_argnums=0)
+    H, W = batch["src_views"]["rgb"].shape[2:4]
+    if args.marginal:
+        N1, N2 = 4, 20
+        force_sync(g(N1))
+        force_sync(g(N2))
+        best1 = best2 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force_sync(g(N1))
+            best1 = min(best1, time.time() - t0)
+            t0 = time.time()
+            force_sync(g(N2))
+            best2 = min(best2, time.time() - t0)
+        best = (best2 - best1) / (N2 - N1)
+        print(
+            f"dtype={args.dtype} pallas={args.pallas}: {best*1000:.1f} "
+            f"ms/frame marginal ({1.0/best:.2f} fps) at {H}x{W}, chains "
+            f"t({N1})={best1*1e3:.1f} t({N2})={best2*1e3:.1f} ms, implied "
+            f"overhead {(best1 - N1*best)*1e3:.1f} ms"
+        )
+        return
     force_sync(g(args.n))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         force_sync(g(args.n))
         best = min(best, (time.time() - t0) / args.n)
-    H, W = batch["src_views"]["rgb"].shape[2:4]
     print(
         f"dtype={args.dtype} pallas={args.pallas}: {best*1000:.1f} ms/frame "
         f"({1.0/best:.2f} fps) at {H}x{W}, chained n={args.n}"
